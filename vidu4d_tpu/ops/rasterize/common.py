@@ -1,0 +1,258 @@
+"""Per-splat projection ("preprocess") and tile binning for the 2DGS
+surfel rasterizer.
+
+TPU-first re-design of the reference CUDA preprocess + binning
+(`cuda_rasterizer/forward.cu:75-260`, `rasterizer_impl.cu:249-339`):
+
+* projection/AABB/culling is a fully vmapped XLA prologue (differentiable),
+* the reference's dynamic per-splat duplication + global 64-bit radix sort
+  becomes a *fixed-capacity* duplication (each splat emits a static number of
+  tile entries, centered-clamped to its AABB) + ONE int32 key sort
+  ``key = tile_id << depth_bits | quantized_depth``, giving per-tile
+  depth-sorted ranges via searchsorted. Shapes stay static under jit and the
+  host never reads back an entry count (removes the reference's mid-step
+  cudaMemcpy sync at `rasterizer_impl.cu:282`).
+
+Math exactly follows the 2DGS formulation (Eq. 5-10 of the paper / the
+reference kernels); see file:line citations inline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidu4d_tpu.ops.quaternion import quaternion_to_matrix
+
+# constants pinned by the reference (auxiliary.h:20-37, config.h:15-17)
+FILTER_SIZE = 0.7071067811865476  # low-pass filter sqrt-variance, Botsch et al.
+FILTER_INV_SQUARE = 1.0 / (FILTER_SIZE * FILTER_SIZE)
+NEAR_PLANE = 0.2
+FAR_PLANE = 100.0
+ALPHA_EPS = 1.0 / 255.0
+T_EARLY_STOP = 1e-4
+ALPHA_CLAMP = 0.99
+
+
+class SplatProjection(NamedTuple):
+    """Per-splat screen-space quantities (all (P, ...) arrays)."""
+
+    tu: jax.Array  # (P, 3) transMat row u
+    tv: jax.Array  # (P, 3) transMat row v
+    tw: jax.Array  # (P, 3) transMat row w (homogeneous/depth row)
+    normal: jax.Array  # (P, 3) camera-space surfel normal (dual-visible flipped)
+    center2d: jax.Array  # (P, 2) screen-space AABB center (low-pass filter center)
+    extent2d: jax.Array  # (P, 2) AABB half-extent (1 sigma)
+    radius: jax.Array  # (P,) pixel radius (3 sigma, >= FilterSize), float
+    depth: jax.Array  # (P,) camera-space center depth (sort key)
+    valid: jax.Array  # (P,) bool: survived near-cull / degenerate checks
+
+
+def project_splats(
+    means3d: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    viewmat: jax.Array,
+    intrins: jax.Array,
+    mask: Optional[jax.Array] = None,
+    densify_dummy: Optional[jax.Array] = None,
+) -> SplatProjection:
+    """Project 2D Gaussian surfels to screen space.
+
+    Mirrors `forward.cu` computeTransMat/computeAABB/preprocessCUDA:
+    M = [s_x·W·r0 | s_y·W·r1 | p_view] (columns), Tu/Tv/Tw rows of P·M,
+    AABB from the homogeneous conic, radius = ceil(3·max(extent, FilterSize)).
+
+    Args:
+        means3d: (P, 3) world-space surfel centers.
+        quats: (P, 4) rotations, (w, x, y, z), need not be normalized.
+        scales: (P, 2) tangent-axis standard deviations (already activated).
+        viewmat: (4, 4) world-to-camera SE(3).
+        intrins: (4,) pinhole (fx, fy, cx, cy). Unlike the reference kernel
+            (which hardcodes cx=W/2, cy=H/2 and needs the KCamera frustum
+            workaround, `gs/scene/cameras.py:72-163`), arbitrary principal
+            points are supported directly.
+        mask: optional (P,) bool; False splats are culled (fixed-capacity
+            parameter stores use this for dead slots).
+        densify_dummy: optional (P, 2) zeros; added to (Tu_z, Tv_z) so its
+            cotangent reproduces the reference's viewspace "mean2D gradient"
+            densification signal (`backward.cu:599-649` writes
+            dL_dtransMat[2], dL_dtransMat[5] scaled to NDC).
+    """
+    rot_wc = viewmat[:3, :3]
+    t_wc = viewmat[:3, 3]
+    p_view = means3d @ rot_wc.T + t_wc  # (P, 3)
+
+    rmat = quaternion_to_matrix(quats)  # (P, 3, 3); columns are tangent axes
+    # camera-space tangent frame
+    axes_cam = jnp.einsum("ij,pjk->pik", rot_wc, rmat)  # (P, 3, 3)
+    a = axes_cam[..., 0] * scales[..., 0:1]  # s_x · W·r0
+    b = axes_cam[..., 1] * scales[..., 1:2]  # s_y · W·r1
+    tn = axes_cam[..., 2]  # unscaled normal axis
+
+    # dual-visible normal flip: sign(dot(-tn, p_view)) (forward.cu:99-110)
+    cos = -jnp.sum(tn * p_view, axis=-1, keepdims=True)
+    normal = jnp.where(cos > 0, tn, -tn)
+
+    fx, fy, cx, cy = intrins[0], intrins[1], intrins[2], intrins[3]
+    # rows of the projected splat-to-screen homography (forward.cu:112-127)
+    stack3 = lambda u, v, w: jnp.stack([u, v, w], axis=-1)
+    tw = stack3(a[:, 2], b[:, 2], p_view[:, 2])
+    tu = fx * stack3(a[:, 0], b[:, 0], p_view[:, 0]) + cx * tw
+    tv = fy * stack3(a[:, 1], b[:, 1], p_view[:, 1]) + cy * tw
+
+    if densify_dummy is not None:
+        tu = tu.at[:, 2].add(densify_dummy[:, 0])
+        tv = tv.at[:, 2].add(densify_dummy[:, 1])
+
+    # screen AABB of the splat conic (forward.cu:135-163)
+    sgn = jnp.array([1.0, 1.0, -1.0], dtype=means3d.dtype)
+    d = jnp.sum(sgn * tw * tw, axis=-1, keepdims=True)
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, 1.0, d)
+    f = sgn / d_safe  # (P, 3)
+    cx2d = jnp.sum(f * tu * tw, axis=-1)
+    cy2d = jnp.sum(f * tv * tw, axis=-1)
+    hx = jnp.sqrt(jnp.maximum(cx2d * cx2d - jnp.sum(f * tu * tu, axis=-1), 0.0))
+    hy = jnp.sqrt(jnp.maximum(cy2d * cy2d - jnp.sum(f * tv * tv, axis=-1), 0.0))
+    center2d = jnp.stack([cx2d, cy2d], axis=-1)
+    extent2d = jnp.stack([hx, hy], axis=-1)
+    radius = jnp.ceil(3.0 * jnp.maximum(jnp.max(extent2d, axis=-1), FILTER_SIZE))
+
+    valid = (p_view[:, 2] > NEAR_PLANE) & (jnp.abs(d[:, 0]) >= 1e-12) & (cos[:, 0] != 0)
+    if mask is not None:
+        valid = valid & mask
+
+    return SplatProjection(
+        tu=tu, tv=tv, tw=tw, normal=normal, center2d=center2d,
+        extent2d=extent2d, radius=radius, depth=p_view[:, 2], valid=valid,
+    )
+
+
+def quantize_depth(depth: jax.Array, depth_bits: int,
+                   near: float = NEAR_PLANE, far: float = FAR_PLANE) -> jax.Array:
+    """Monotone int quantization of depth for compound sort keys."""
+    t = jnp.clip((depth - near) / (far - near), 0.0, 1.0)
+    return (t * ((1 << depth_bits) - 1)).astype(jnp.int32)
+
+
+class TileBinning(NamedTuple):
+    sorted_splat_ids: jax.Array  # (E,) int32, entries sorted by (tile, depth)
+    tile_start: jax.Array  # (T,) int32 first entry of each tile
+    tile_count: jax.Array  # (T,) int32 entries per tile
+    num_entries: jax.Array  # () int32 total valid entries (diagnostic)
+    overflowed: jax.Array  # () int32 splats whose tile span was clamped
+
+
+def tile_grid_shape(height: int, width: int, tile: int) -> Tuple[int, int]:
+    return -(-height // tile), -(-width // tile)
+
+
+class TileRects(NamedTuple):
+    min_x: jax.Array  # (P,) int32
+    min_y: jax.Array
+    span_x: jax.Array  # (P,) int32, <= span_cap
+    span_y: jax.Array
+    valid: jax.Array  # (P,) bool: projection-valid AND non-empty rect
+    overflow: jax.Array  # (P,) bool: rect was clamped to span_cap
+
+
+def compute_tile_rects(
+    proj: SplatProjection, height: int, width: int, tile: int, span_cap: int
+) -> TileRects:
+    """Per-splat covered-tile rect (`auxiliary.h` getRect), centered-clamped
+    to at most span_cap tiles per axis so duplication has a static shape."""
+    tiles_y, tiles_x = tile_grid_shape(height, width, tile)
+    center = proj.center2d
+    radius = proj.radius
+
+    rect_min_x = jnp.clip(jnp.floor((center[:, 0] - radius) / tile), 0, tiles_x).astype(jnp.int32)
+    rect_min_y = jnp.clip(jnp.floor((center[:, 1] - radius) / tile), 0, tiles_y).astype(jnp.int32)
+    rect_max_x = jnp.clip(jnp.floor((center[:, 0] + radius + tile - 1) / tile), 0, tiles_x).astype(jnp.int32)
+    rect_max_y = jnp.clip(jnp.floor((center[:, 1] + radius + tile - 1) / tile), 0, tiles_y).astype(jnp.int32)
+
+    span_x = rect_max_x - rect_min_x
+    span_y = rect_max_y - rect_min_y
+    overflow = (span_x > span_cap) | (span_y > span_cap)
+
+    # centered clamp: keep the span_cap tiles nearest the splat center
+    ctile_x = jnp.clip((center[:, 0] / tile).astype(jnp.int32), 0, tiles_x - 1)
+    ctile_y = jnp.clip((center[:, 1] / tile).astype(jnp.int32), 0, tiles_y - 1)
+
+    def clamp_span(rmin, rmax, span, ctile):
+        lo = jnp.clip(ctile - span_cap // 2, rmin, jnp.maximum(rmax - span_cap, rmin))
+        new_min = jnp.where(span > span_cap, lo, rmin)
+        return new_min, jnp.minimum(span, span_cap)
+
+    rect_min_x, span_x = clamp_span(rect_min_x, rect_max_x, span_x, ctile_x)
+    rect_min_y, span_y = clamp_span(rect_min_y, rect_max_y, span_y, ctile_y)
+
+    empty = (span_x == 0) | (span_y == 0)
+    return TileRects(
+        min_x=rect_min_x, min_y=rect_min_y, span_x=span_x, span_y=span_y,
+        valid=proj.valid & ~empty, overflow=overflow,
+    )
+
+
+def bin_splats(
+    proj: SplatProjection,
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+) -> TileBinning:
+    """Fixed-capacity tile binning + one int32 key sort.
+
+    Each splat emits ``span_cap**2`` entries covering (a centered clamp of)
+    its AABB tile rect (`auxiliary.h` getRect semantics). Entries outside the
+    rect get sentinel keys that sort to the end. Depth order within a tile
+    comes from packing quantized depth into the low key bits.
+    """
+    tiles_y, tiles_x = tile_grid_shape(height, width, tile)
+    num_tiles = tiles_x * tiles_y
+    tile_bits = max(1, math.ceil(math.log2(max(num_tiles, 2))))
+    depth_bits = 30 - tile_bits
+    if depth_bits < 12:
+        raise ValueError(
+            f"too many tiles ({num_tiles}) for int32 keys; increase tile size"
+        )
+
+    p = proj.center2d.shape[0]
+    rects = compute_tile_rects(proj, height, width, tile, span_cap)
+    rect_min_x, rect_min_y = rects.min_x, rects.min_y
+    span_x, span_y = rects.span_x, rects.span_y
+    valid = rects.valid
+    overflow = rects.overflow
+
+    # static (P, span_cap**2) duplication
+    j = jnp.arange(span_cap * span_cap, dtype=jnp.int32)
+    dx = j[None, :] % jnp.maximum(span_x, 1)[:, None]
+    dy = j[None, :] // jnp.maximum(span_x, 1)[:, None]
+    in_rect = (dy < span_y[:, None]) & valid[:, None]
+    tile_id = (rect_min_y[:, None] + dy) * tiles_x + (rect_min_x[:, None] + dx)
+
+    depth_q = quantize_depth(proj.depth, depth_bits)
+    keys = (tile_id << depth_bits) | depth_q[:, None]
+    sentinel = jnp.int32((num_tiles << depth_bits))
+    keys = jnp.where(in_rect, keys, sentinel).reshape(-1)
+
+    splat_ids = jnp.broadcast_to(
+        jnp.arange(p, dtype=jnp.int32)[:, None], (p, span_cap * span_cap)
+    ).reshape(-1)
+    keys_sorted, ids_sorted = jax.lax.sort([keys, splat_ids], num_keys=1)
+
+    tile_of_entry = keys_sorted >> depth_bits
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits
+    starts = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(jnp.int32)
+    tile_start = starts[:-1]
+    tile_count = starts[1:] - starts[:-1]
+
+    return TileBinning(
+        sorted_splat_ids=ids_sorted,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_entries=jnp.sum(tile_count),
+        overflowed=jnp.sum((overflow & valid).astype(jnp.int32)),
+    )
