@@ -7,7 +7,11 @@ exercised without TPU hardware. Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend for tests unless explicitly opted out (the 8-device
+# mesh below only exists on CPU; set VIDU4D_TEST_TPU=1 to exercise real TPU
+# lowering instead).
+if not os.environ.get("VIDU4D_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

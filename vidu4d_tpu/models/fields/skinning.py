@@ -1,0 +1,122 @@
+"""Gaussian-bone skinning field.
+
+Re-design of `lab4d/nnutils/skinning.py` + the bone-coordinate transforms of
+`lab4d/utils/transforms.py`: per-bone anisotropic Gaussian scales plus an
+optional time/instance-conditioned delta-skin MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vidu4d_tpu.data.frame_info import FrameInfo
+from vidu4d_tpu.models.fields.embeddings import TimeEmbedding, pos_embed
+from vidu4d_tpu.models.fields.mlp import CondMLP
+from vidu4d_tpu.ops.quaternion import (
+    DualQuaternion,
+    dual_quaternion_apply,
+    dual_quaternion_inverse,
+    dual_quaternion_to_quaternion_translation,
+)
+
+
+def get_bone_coords(xyz: jax.Array, bone2obj: DualQuaternion) -> jax.Array:
+    """Object-space points -> per-bone coordinates (`transforms.py:9-25`).
+
+    Args:
+        xyz: (..., 3); bone2obj: ((..., B, 4), (..., B, 4)).
+    Returns:
+        (..., B, 3)
+    """
+    obj2bone = dual_quaternion_inverse(bone2obj)
+    b = bone2obj[0].shape[-2]
+    xyz_e = jnp.broadcast_to(xyz[..., None, :], xyz.shape[:-1] + (b, 3))
+    return dual_quaternion_apply(obj2bone, xyz_e)
+
+
+def get_xyz_bone_distance(xyz: jax.Array, bone2obj: DualQuaternion) -> jax.Array:
+    """Squared distance to bone centers (`transforms.py:28-40`)."""
+    _, center = dual_quaternion_to_quaternion_translation(bone2obj)
+    return jnp.sum((xyz[..., None, :] - center) ** 2, axis=-1)
+
+
+def cross_entropy_skin_loss(skin: jax.Array) -> jax.Array:
+    """CE between unnormalized skin logits and their one-hot argmax
+    (`lab4d/utils/loss_utils.py:21-42`): encourages peaky assignments."""
+    log_prob = jax.nn.log_softmax(skin, axis=-1)
+    return -jnp.take_along_axis(
+        log_prob, jnp.argmax(skin, axis=-1, keepdims=True), axis=-1
+    )[..., 0]
+
+
+def entropy_loss(prob: jax.Array, axis: int = -1) -> jax.Array:
+    """Entropy of a probability distribution (`loss_utils.py:7-18`)."""
+    return -jnp.sum(prob * jnp.log(prob + 1e-9), axis=axis)
+
+
+class SkinningField(nn.Module):
+    """Per-bone 3D Gaussian skinning weights + optional delta-skin MLP."""
+
+    num_coords: int
+    frame_info: FrameInfo
+    num_inst: int
+    delta_skin: bool = True
+    depth: int = 2
+    width: int = 64
+    num_freq_xyz: int = 0
+    num_freq_t: int = 6
+    inst_channels: int = 32
+    init_scale: float = 0.03
+
+    def setup(self):
+        self.log_gauss = self.param(
+            "log_gauss",
+            lambda key, shape: jnp.full(shape, jnp.log(self.init_scale)),
+            (self.num_coords, 3),
+        )
+        if self.delta_skin:
+            self.time_embedding = TimeEmbedding(
+                num_freq_t=self.num_freq_t, frame_info=self.frame_info
+            )
+            self.delta_field = CondMLP(
+                num_inst=self.num_inst,
+                depth=self.depth,
+                width=self.width,
+                out_channels=self.num_coords,
+                inst_channels=self.inst_channels,
+                skips=(4,),
+            )
+
+    def get_gauss(self) -> jax.Array:
+        """(B, 3) per-bone Gaussian scales."""
+        return jnp.exp(self.log_gauss)
+
+    def __call__(
+        self,
+        xyz: jax.Array,  # (M, N, D, 3) canonical points
+        bone2obj: DualQuaternion,  # ((M, N, D, B, 4), (M, N, D, B, 4))
+        frame_id: Optional[jax.Array],  # (M,) or None
+        inst_id: Optional[jax.Array],  # (M,) or None
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Returns (skin logits (M, N, D, B), delta or None)."""
+        xyz_bone = get_bone_coords(xyz, bone2obj) / self.get_gauss()
+        dist2 = jnp.sum(xyz_bone**2, axis=-1)  # (M, N, D, B)
+
+        if self.delta_skin:
+            xyz_embed = pos_embed(
+                xyz_bone.reshape(xyz.shape[:-1] + (-1,)), self.num_freq_xyz
+            )
+            if frame_id is None:
+                t_embed = self.time_embedding.mean_embedding()
+            else:
+                t_embed = self.time_embedding(frame_id)
+            t_embed = t_embed.reshape((-1,) + (1,) * (xyz.ndim - 2) + (t_embed.shape[-1],))
+            t_embed = jnp.broadcast_to(t_embed, xyz.shape[:-1] + (t_embed.shape[-1],))
+            embed = jnp.concatenate([xyz_embed, t_embed], axis=-1)
+            delta = nn.relu(self.delta_field(embed, inst_id)) * 0.1
+            return -(dist2 + delta), delta
+        return -dist2, None
