@@ -1,0 +1,61 @@
+"""Stage-2 trainer smoke test: init -> mlp_init -> one round -> checkpoint."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_fake_db
+
+
+@pytest.mark.slow
+def test_stage2_trainer_smoke(tmp_path):
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    from vidu4d_tpu.engine.trainer import Stage2Trainer
+
+    opts = {
+        "dataroot": db,
+        "seqname": "toy",
+        "logname": "test",
+        "logroot": os.path.join(str(tmp_path), "logdir"),
+        "data_prefix": "crop",
+        "train_res": 16,
+        "pixels_per_image": 4,
+        "imgs_per_gpu": 2,
+        "num_rounds": 2,
+        "iters_per_round": 3,
+        "save_freq": 1,
+        "fg_motion": "bob",
+        "field_type": "fg",
+        "field_depth": 2,
+        "field_width": 32,
+        "train_depth_samples": 8,
+        "learning_rate": 5e-4,
+    }
+    trainer = Stage2Trainer(opts)
+    trainer.mlp_init(sdf_iters=50, verbose=False)
+
+    # proxy geometry after sdf pretrain should approximate the 0.1-sphere
+    assert hasattr(trainer, "_proxy_mesh")
+    verts, faces = trainer._proxy_mesh
+    r = np.linalg.norm(verts, axis=-1)
+    assert 0.04 < r.mean() < 0.2, r.mean()
+
+    losses = []
+    trainer.train(log_fn=lambda s, total, d: losses.append(total))
+    assert trainer.current_round == 2
+    assert trainer.current_steps == 6
+
+    ckpt = os.path.join(trainer.save_dir, "ckpt_latest.pth")
+    assert os.path.exists(ckpt)
+    geo = os.path.join(trainer.save_dir, "001-fg-geo.obj")
+    assert os.path.exists(geo)
+    feat = os.path.join(trainer.save_dir, "001-fg-feat.npy")
+    assert os.path.exists(feat)
+    feats = np.load(feat)
+    assert feats.shape[-1] == 16
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
+
+    # reload round-trips
+    payload = trainer.load_checkpoint(ckpt, reset_steps=False)
+    assert payload["current_round"] == 2

@@ -127,6 +127,14 @@ class GaussianConfig:
     flags.DEFINE_integer("gs_capacity", 400000, "max live surfels")
 
 
+def define_flag_once(kind: str, name: str, default, help_str: str):
+    """Define a flag unless it already exists (render/export/reanimate share
+    some flag names and may be imported together)."""
+    if name in opts:
+        return
+    getattr(flags, f"DEFINE_{kind}")(name, default, help_str)
+
+
 def get_config():
     return opts.flag_values_dict()
 

@@ -1,0 +1,580 @@
+"""Stage-3 trainer: dynamic Gaussian surfels on a frozen-or-refined warp.
+
+TPU re-design of the reference Stage-3 loop (`lab4d/engine/trainer.py`
+with `--fg_motion gs-*`): full-image pair batches, the jitted step computes
+
+  warp surfels -> rasterize every batch frame (vmap) -> losses
+  (L1 rgb (+DSSIM), balanced mask, feature reprojection, cycle/skin
+  regularizers, 2DGS normal+distortion after 8k steps, volume reg)
+
+and updates two optimizers: the per-field Adam over the fixed-capacity
+surfel store and AdamW over the warp/camera/intrinsics flax params (only
+when `gs_optim_warp`). Densify/prune/opacity-reset/radius-outlier-prune run
+at the reference cadence (`trainer.py:549-598`) entirely on device.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+import numpy as np
+import optax
+
+from vidu4d_tpu.data import data_utils
+from vidu4d_tpu.data.frame_info import FrameInfo
+from vidu4d_tpu.engine import losses as losses_mod
+from vidu4d_tpu.engine.schedules import progress_schedule
+from vidu4d_tpu.models.gaussian import densify as densify_mod
+from vidu4d_tpu.models.gaussian import surfels as sf
+from vidu4d_tpu.models.gaussian.deformable import (
+    GaussianDeformer,
+    render_surfels_batch,
+)
+from vidu4d_tpu.models.gaussian.optimizer import (
+    GsLearningRates,
+    gs_adam_init,
+    gs_adam_update,
+)
+from vidu4d_tpu.models.gaussian.ply_io import save_ply
+from vidu4d_tpu.ops import geometry as geom
+from vidu4d_tpu.ops.depth_normal import surf_depth_and_normal
+from vidu4d_tpu.ops.image_losses import ssim
+from vidu4d_tpu.ops.marching import load_obj, sample_mesh_surface
+from vidu4d_tpu.ops.rasterize import RasterizeConfig
+from vidu4d_tpu.ops.rasterize.common import compute_tile_rects, project_splats
+
+
+def init_surfels_from_mesh(
+    mesh_path: str,
+    feat_path: Optional[str],
+    capacity: int,
+    n_samples: int = 200_000,
+    sh_degree: int = 3,
+    seed: int = 0,
+) -> sf.SurfelState:
+    """Initialize surfels on the Stage-2 mesh with barycentric color/feature
+    transfer (replaces the KD-tree transfer, `deformable_gaussian.py:366-408`)."""
+    verts, faces = load_obj(mesh_path)
+    rng = np.random.default_rng(seed)
+    pts, fid, bary = sample_mesh_surface(verts, faces, n_samples, rng=rng)
+
+    colors_path = mesh_path.replace(".obj", "-colors.npy")
+    if os.path.exists(colors_path):
+        vcolors = np.load(colors_path)
+        colors = np.einsum(
+            "nk,nkc->nc", bary, vcolors[faces[fid]]
+        ).astype(np.float32)
+    else:
+        colors = np.full((n_samples, 3), 0.5, np.float32)
+
+    regist_feat = None
+    if feat_path and os.path.exists(feat_path):
+        vfeat = np.load(feat_path)
+        regist_feat = np.einsum("nk,nkc->nc", bary, vfeat[faces[fid]])
+        regist_feat /= np.maximum(
+            np.linalg.norm(regist_feat, axis=-1, keepdims=True), 1e-12
+        )
+        regist_feat = jnp.asarray(regist_feat, jnp.float32)
+
+    return sf.init_from_points(
+        jnp.asarray(pts), jnp.asarray(colors), capacity, sh_degree=sh_degree,
+        key=jax.random.PRNGKey(seed), regist_feat=regist_feat,
+    )
+
+
+def transfer_stage2_params(stage2_params: Dict, deformer_params: Dict) -> Dict:
+    """Copy warp/camera/intrinsics/logscale from a Stage-2 checkpoint into the
+    Stage-3 deformer (the Stage-2 -> Stage-3 transition, `trainer.py:371-422`)."""
+    src = stage2_params["params"]
+    dst = dict(deformer_params["params"])
+    fg = src.get("fields_fg", {})
+    for key_src, key_dst in (
+        ("warp", "warp"), ("camera_mlp", "camera_mlp"), ("logscale", "logscale"),
+    ):
+        if key_src in fg:
+            dst[key_dst] = fg[key_src]
+    if "intrinsics" in src:
+        dst["intrinsics"] = src["intrinsics"]
+    return {**deformer_params, "params": dst}
+
+
+class Stage3Trainer:
+    def __init__(self, opts: Dict, datasets=None, data_info=None):
+        self.opts = dict(opts)
+        opts = self.opts
+        opts.setdefault("pixels_per_image", -1)  # full images (trainer.py:87-88)
+        if datasets is None:
+            datasets = data_utils.build_datasets(opts)
+        self.datasets = datasets
+        if data_info is None:
+            data_info = data_utils.get_data_info(datasets)
+        self.data_info = data_info
+        self.frame_info: FrameInfo = data_info["frame_info"]
+        self.res = opts.get("train_res", 256)
+
+        self.save_dir = os.path.join(
+            opts.get("logroot", "logdir"), f"{opts['seqname']}-{opts['logname']}"
+        )
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        motion = opts.get("fg_motion", "gs-bob")
+        assert motion.startswith("gs-")
+        self.deformer = GaussianDeformer(
+            frame_info=self.frame_info,
+            fg_motion=motion[3:],
+            num_inst=1 if opts.get("single_inst", True) else self.frame_info.num_vids,
+            learnable_bg=opts.get("gs_learnable_bg", True),
+        )
+
+        # surfel init: from Stage-2 mesh if given, else random cloud
+        cap = opts.get("gs_capacity", 400_000)
+        mesh = opts.get("gs_init_mesh", "")
+        if mesh and os.path.exists(mesh):
+            feat_path = mesh.replace("-geo.obj", "-feat.npy")
+            self.surfels = init_surfels_from_mesh(
+                mesh, feat_path, cap, n_samples=opts.get("gs_init_samples", 200_000),
+                sh_degree=opts.get("sh_degree", 3),
+            )
+        else:
+            rng = np.random.default_rng(0)
+            n = opts.get("gs_init_samples", 100_000)
+            pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+            cols = rng.uniform(size=(n, 3)).astype(np.float32)
+            self.surfels = sf.init_from_points(
+                jnp.asarray(pts), jnp.asarray(cols), cap,
+                sh_degree=opts.get("sh_degree", 3),
+            )
+
+        self.batcher = data_utils.PairBatcher(
+            datasets, imgs_per_batch=opts.get("imgs_per_gpu", 1),
+            seed=opts.get("seed", 0),
+        )
+
+        self._init_params()
+        self.gs_lrs = GsLearningRates(
+            xyz_init=opts.get("position_lr_init", 5e-5),
+            xyz_final=opts.get("position_lr_final", 1.6e-6),
+            xyz_delay_mult=opts.get("position_lr_delay_mult", 0.01),
+            xyz_max_steps=opts.get("position_lr_max_steps", 30_000),
+            features_dc=opts.get("feature_lr", 2.5e-3),
+            features_rest=opts.get("feature_lr", 2.5e-3) / 20.0,
+            opacity=opts.get("opacity_lr", 0.05),
+            scaling=opts.get("scaling_lr", 5e-3),
+            rotation=opts.get("rotation_lr", 1e-3),
+            regist_feat=opts.get("regist_feat_lr", 2.5e-3),
+        )
+        self.gs_adam = gs_adam_init(self.surfels.params)
+        self.warp_opt = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.adamw(opts.get("learning_rate", 5e-4), weight_decay=1e-4),
+        )
+        self.warp_opt_state = self.warp_opt.init(self.params)
+
+        self.current_steps = 0
+        self.current_round = 0
+        self.raster_cfg = RasterizeConfig(
+            tile=opts.get("raster_tile", 16),
+            span_cap=opts.get("raster_span_cap", 4),
+            budget=opts.get("raster_budget", 1024),
+            tile_chunk=opts.get("raster_tile_chunk", 8),
+        )
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+
+    def _init_params(self):
+        batch = self._next_batch()
+        self.params = self.deformer.init(
+            jax.random.PRNGKey(0),
+            method=lambda mdl: self._model_forward_for_init(mdl, batch),
+        )
+
+    def _model_forward_for_init(self, mdl, batch):
+        samples = mdl.get_samples(batch)
+        xyz = self.surfels.params.xyz
+        rot = sf.get_rotation(self.surfels.params)
+        xyz_cam, rot_cam, _ = mdl.warp_surfels(xyz, rot, samples)
+        mdl.cycle_loss(xyz_cam, xyz, samples)
+        if "feature" in samples:
+            matches = mdl.global_match(
+                samples["feature"], self.surfels.params.regist_feat, xyz
+            )
+            mdl.forward_project(matches, samples)
+        mdl.background()
+        return xyz_cam
+
+    def _next_batch(self):
+        batch = self.batcher.next_batch()
+        batch = data_utils.flatten_pairs(batch)
+        batch = data_utils.compute_frameid(batch, self.frame_info)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _loss_config(self):
+        o = self.opts
+        return {
+            "field_type": "fg",
+            "train_res": self.res,
+            "mask_wt": o.get("mask_wt", 0.1),
+            "rgb_wt": o.get("rgb_wt", 0.1),
+            "feat_reproj_wt": o.get("feat_reproj_wt", 5e-2),
+            "reg_deform_cyc_wt": o.get("reg_deform_cyc_wt", 0.01),
+            "reg_delta_skin_wt": o.get("reg_delta_skin_wt", 5e-3),
+            "reg_skin_entropy_wt": o.get("reg_skin_entropy_wt", 5e-4),
+            "reg_gauss_skin_wt": o.get("reg_gauss_skin_wt", 1e-3),
+            "reg_cam_prior_wt": o.get("reg_cam_prior_wt", 0.1),
+            "reg_skel_prior_wt": o.get("reg_skel_prior_wt", 0.1),
+            "reg_gauss_mask_wt": o.get("reg_gauss_mask_wt", 0.01),
+            "lambda_dssim": o.get("lambda_dssim", 0.0),
+            "lambda_normal": o.get("lambda_normal", 0.05),
+            "lambda_dist": o.get("lambda_dist", 0.0),
+            "reg_volume_loss_wt": o.get("reg_volume_loss_wt", 0.0),
+            "rgb_loss_only": o.get("rgb_loss_only", False),
+        }
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        deformer = self.deformer
+        cfg = self._loss_config()
+        res = self.res
+        sh_degree = self.opts.get("sh_degree", 3)
+        raster_cfg = self.raster_cfg
+        gs_lrs = self.gs_lrs
+        warp_opt = self.warp_opt
+        optim_warp = self.opts.get("gs_optim_warp", True)
+
+        def make_loss_fn(use_2dgs_reg):
+            return lambda *a: loss_fn(*a, use_2dgs_reg=use_2dgs_reg)
+
+        def loss_fn(dparams, sparams, dummy, state_alive, batch, weights,
+                    use_2dgs_reg=False):
+            samples = deformer.apply(dparams, batch, method=deformer.get_samples)
+            xyz = sparams.xyz
+            rot = sf.get_rotation(sparams)
+            xyz_cam, rot_cam, warp_aux = deformer.apply(
+                dparams, xyz, rot, samples, method=deformer.warp_surfels
+            )
+            intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
+            bg = deformer.apply(dparams, method=deformer.background)
+            out = render_surfels_batch(
+                sparams, state_alive, xyz_cam, rot_cam, intrins,
+                res, res, sh_degree, bg, raster_cfg, densify_dummy=dummy,
+            )
+            # image-space tensors (M, H, W, c)
+            m = xyz_cam.shape[0]
+            img = lambda x: x.reshape((m, res, res, -1))
+            gt_rgb = img(batch["rgb"])
+            gt_mask = img(batch["mask"])
+            vis2d = img(batch["vis2d"])
+
+            loss_dict = {}
+            # rgb: L1 on vis2d pixels (`model.py:676-696`) + optional DSSIM
+            l1 = jnp.abs(out.color - gt_rgb) * vis2d
+            loss_dict["rgb"] = (1.0 - cfg["lambda_dssim"]) * jnp.mean(l1)
+            if cfg["lambda_dssim"] > 0:
+                ssim_val = jax.vmap(
+                    lambda a, b: ssim(
+                        jnp.transpose(a, (2, 0, 1)), jnp.transpose(b, (2, 0, 1))
+                    )
+                )(out.color, gt_rgb * gt_mask * vis2d)
+                loss_dict["rgb_ssim"] = cfg["lambda_dssim"] * jnp.mean(1 - ssim_val)
+
+            # mask: balanced MSE (`model.py:646-652` fg branch)
+            balance = losses_mod.get_mask_balance_wt(
+                gt_mask, vis2d, batch["is_detected"]
+            )
+            mask_loss = ((out.alpha[..., None] - gt_mask) ** 2) * balance * vis2d
+            is_det = batch["is_detected"].reshape(-1, 1, 1, 1)
+            loss_dict["mask"] = losses_mod.nonzero_mean(mask_loss * is_det)
+
+            if not cfg["rgb_loss_only"]:
+                # feature reprojection (`model.py:663-675`)
+                if "feature" in samples and sparams.regist_feat.shape[-1] > 0:
+                    matches = deformer.apply(
+                        dparams, samples["feature"], sparams.regist_feat, xyz,
+                        method=deformer.global_match,
+                    )
+                    xy_reproj, _ = deformer.apply(
+                        dparams, matches, samples, method=deformer.forward_project
+                    )
+                    reproj = safe_norm(
+                        xy_reproj - batch["hxy"][..., :2], axis=-1, keepdims=True
+                    )
+                    maskfg = batch["mask"].astype(reproj.dtype)
+                    loss_dict["feat_reproj"] = (
+                        losses_mod.nonzero_mean(reproj * maskfg) / cfg["train_res"]
+                    )
+
+                # cycle + skin regs (`compute_reg_loss`, model.py:856-866)
+                cyc = deformer.apply(
+                    dparams, xyz_cam, xyz, samples, method=deformer.cycle_loss
+                )
+                loss_dict["reg_deform_cyc"] = losses_mod.nonzero_mean(cyc["cyc_dist"])
+                if "delta_skin" in cyc:
+                    loss_dict["reg_delta_skin"] = losses_mod.nonzero_mean(cyc["delta_skin"])
+                if "skin_entropy" in cyc:
+                    loss_dict["reg_skin_entropy"] = losses_mod.nonzero_mean(cyc["skin_entropy"])
+
+                # 2DGS normal/distortion regs, on after 8k steps
+                if use_2dgs_reg and cfg["lambda_normal"] > 0:
+                    surf_norm = jax.vmap(
+                        lambda de, dm, a, k: surf_depth_and_normal(de, dm, a, k)[1]
+                    )(
+                        out.depth / jnp.maximum(out.alpha, 1e-6),
+                        out.median_depth, out.alpha, intrins,
+                    )
+                    n_err = 1.0 - jnp.sum(out.normal * surf_norm, axis=-1)
+                    loss_dict["normal_loss"] = cfg["lambda_normal"] * jnp.mean(n_err)
+                if use_2dgs_reg and cfg["lambda_dist"] > 0:
+                    loss_dict["dist_loss"] = cfg["lambda_dist"] * jnp.mean(out.distortion)
+
+                if cfg["reg_volume_loss_wt"] > 0:
+                    scaling = sf.get_scaling(sparams)
+                    loss_dict["reg_volume_loss"] = (
+                        cfg["reg_volume_loss_wt"]
+                        * jnp.mean(jnp.prod(scaling, axis=1) * state_alive)
+                    )
+
+            # apply weights for the dense keys
+            for k, wt_key in (("rgb", "rgb_wt"), ("mask", "mask_wt"),
+                              ("rgb_ssim", "rgb_wt"),
+                              ("feat_reproj", "feat_reproj_wt"),
+                              ("reg_deform_cyc", "reg_deform_cyc_wt"),
+                              ("reg_delta_skin", "reg_delta_skin_wt"),
+                              ("reg_skin_entropy", "reg_skin_entropy_wt")):
+                if k in loss_dict:
+                    loss_dict[k] = loss_dict[k] * cfg.get(wt_key, 1.0)
+
+            total = sum(jax.tree.leaves(loss_dict))
+            return total, (loss_dict, out)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("use_2dgs_reg",))
+        def step(dparams, surfels: sf.SurfelState, gs_adam, warp_opt_state,
+                 batch, weights, use_2dgs_reg=False):
+            dummy = jnp.zeros(
+                (batch["frameid"].shape[0], surfels.capacity, 2), jnp.float32
+            )
+            (total, (loss_dict, out)), grads = jax.value_and_grad(
+                make_loss_fn(use_2dgs_reg), argnums=(0, 1, 2), has_aux=True
+            )(dparams, surfels.params, dummy, surfels.alive, batch, weights)
+            dgrads, sgrads, dummy_grad = grads
+
+            # densification stats from PRE-update params (`trainer.py:554-560`)
+            samples = deformer.apply(dparams, batch, method=deformer.get_samples)
+            xyz = surfels.params.xyz
+            rot = sf.get_rotation(surfels.params)
+            xyz_cam, rot_cam, _ = deformer.apply(
+                dparams, xyz, rot, samples, method=deformer.warp_surfels
+            )
+            intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
+            scaling = sf.get_scaling(surfels.params)
+            eye = jnp.eye(4)
+
+            def view_stats(xc, rc, intr, dgrad):
+                proj = project_splats(xc, rc, scaling, eye, intr, mask=surfels.alive)
+                rects = compute_tile_rects(proj, res, res, raster_cfg.tile,
+                                           raster_cfg.span_cap)
+                # NDC-scaled mean2D gradient norm (`backward.cu:647-649`)
+                vs = dgrad * proj.depth[:, None] * jnp.array([[res, res]], jnp.float32)
+                return safe_norm(vs, axis=-1), rects.valid, proj.radius
+
+            norms, vis, radii = jax.vmap(view_stats)(
+                xyz_cam, rot_cam, intrins, dummy_grad
+            )
+            ga = surfels.grad_accum + jnp.sum(jnp.where(vis, norms, 0.0), axis=0)
+            dn = surfels.denom + jnp.sum(vis.astype(surfels.denom.dtype), axis=0)
+            mr = jnp.maximum(
+                surfels.max_radii2d, jnp.max(jnp.where(vis, radii, 0.0), axis=0)
+            )
+
+            # surfel Adam step
+            new_params, gs_adam = gs_adam_update(
+                sgrads, gs_adam, surfels.params, gs_lrs
+            )
+            surfels = surfels._replace(
+                params=new_params, grad_accum=ga, denom=dn, max_radii2d=mr
+            )
+
+            # warp/camera AdamW step
+            if optim_warp:
+                updates, warp_opt_state = warp_opt.update(
+                    dgrads, warp_opt_state, dparams
+                )
+                dparams = optax.apply_updates(dparams, updates)
+
+            metrics = {"total": total, **loss_dict,
+                       "alive": surfels.num_alive()}
+            return dparams, surfels, gs_adam, warp_opt_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def train_one_round(self, log_fn=None):
+        opts = self.opts
+        cfg = self._loss_config()
+        for _ in range(opts.get("iters_per_round", 200)):
+            weights = progress_schedule({**cfg, "reg_eikonal_wt": 0.0}, self.current_steps)
+            weights["lambda_normal"] = (
+                cfg["lambda_normal"] if self.current_steps > 8000 else 0.0
+            )
+            weights["lambda_dist"] = (
+                cfg["lambda_dist"] if self.current_steps > 8000 else 0.0
+            )
+            batch = self._next_batch()
+            use_2dgs_reg = self.current_steps > 8000
+            self.params, self.surfels, self.gs_adam, self.warp_opt_state, metrics = (
+                self._train_step(
+                    self.params, self.surfels, self.gs_adam,
+                    self.warp_opt_state, batch, weights,
+                    use_2dgs_reg=use_2dgs_reg,
+                )
+            )
+            self.current_steps += 1
+            self._densify_hooks()
+            if log_fn is not None and self.current_steps % 100 == 0:
+                log_fn(self.current_steps,
+                       {k: float(v) for k, v in metrics.items()})
+        return metrics
+
+    def _densify_hooks(self):
+        """Densify / opacity reset / outlier prune cadence
+        (`trainer.py:549-598`)."""
+        o = self.opts
+        it = self.current_steps
+        if it < o.get("densify_until_iter", 15000):
+            if it > o.get("densify_from_iter", 500) and it % o.get(
+                "densification_interval", 100
+            ) == 0:
+                size_thr = 20.0 if it > o.get("opacity_reset_interval", 3000) else 0.0
+                self.surfels, self.gs_adam, info = densify_mod.densify_and_prune(
+                    self.surfels, self.gs_adam, jax.random.PRNGKey(it),
+                    extent=o.get("cameras_extent", 1.0),
+                    max_screen_size=size_thr,
+                    config=densify_mod.DensifyConfig(
+                        grad_threshold=o.get("densify_grad_threshold", 2e-4),
+                        min_opacity=0.005,
+                        percent_dense=o.get("percent_dense", 0.01),
+                    ),
+                )
+            if it % o.get("opacity_reset_interval", 3000) == 0:
+                self.surfels, self.gs_adam = densify_mod.reset_opacity(
+                    self.surfels, self.gs_adam
+                )
+        if (
+            it % o.get("outlier_filtering_interval", 2000) == 0
+            and 0 < it < o.get("outlier_stop_iter", 29000)
+        ):
+            mask = densify_mod.radius_outlier_mask(
+                self.surfels.params.xyz, self.surfels.alive,
+                nb_points=20, radius=0.004,
+            )
+            self.surfels = densify_mod.prune_by_mask(self.surfels, mask)
+
+    def train(self, log_fn=None):
+        for rnd in range(self.current_round, self.opts.get("num_rounds", 60)):
+            t0 = time.time()
+            metrics = self.train_one_round(log_fn=log_fn)
+            self.current_round = rnd + 1
+            if (rnd + 1) % self.opts.get("save_freq", 10) == 0 or (
+                rnd + 1 == self.opts.get("num_rounds", 60)
+            ):
+                self.save_checkpoint(self.current_round)
+            print(
+                f"Round {rnd:03d}: time={time.time() - t0:.3f}s "
+                f"total={float(metrics['total']):.4f} alive={int(metrics['alive'])}"
+            )
+
+    # ------------------------------------------------------------------
+    # rendering (render.py / reanimate.py backend)
+    # ------------------------------------------------------------------
+
+    def render_batch(self, batch: Dict, res: Optional[int] = None,
+                     no_warp: bool = False) -> Dict:
+        """Render frames described by a `construct_batch` dict. Returns dict of
+        (M, res, res, c) numpy arrays incl. learnable-bg composited rgb
+        (`engine/model.py:186-284` evaluate)."""
+        res = res or self.res
+        deformer = self.deformer
+        raster_cfg = self.raster_cfg
+        sh_degree = self.opts.get("sh_degree", 3)
+
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if "frameid" not in batch:
+            batch = data_utils.compute_frameid(batch, self.frame_info)
+
+        @jax.jit
+        def run(dparams, sparams, alive, batch):
+            samples = deformer.apply(dparams, batch, method=deformer.get_samples)
+            xyz = sparams.xyz
+            rot = sf.get_rotation(sparams)
+            # joint-angle override for reanimation (`reanimate.py:31-60`)
+            xyz_cam, rot_cam, _ = deformer.apply(
+                dparams, xyz, rot, samples, no_warp=no_warp,
+                method=deformer.warp_surfels,
+            )
+            intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
+            bg = deformer.apply(dparams, method=deformer.background)
+            out = render_surfels_batch(
+                sparams, alive, xyz_cam, rot_cam, intrins,
+                res, res, sh_degree, bg, raster_cfg,
+            )
+            # blend with learnable background (`model.py:256-258`)
+            rgb = out.color + (1.0 - out.alpha[..., None]) * bg[None, None, None]
+            return {
+                "rendered": rgb,
+                "mask": out.alpha[..., None],
+                "depth": out.depth[..., None],
+                "normal": out.normal,
+                "median_depth": out.median_depth[..., None],
+            }
+
+        out = run(self.params, self.surfels.params, self.surfels.alive, batch)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def save_checkpoint(self, round_count: int):
+        payload = {
+            "current_steps": self.current_steps,
+            "current_round": round_count,
+            "params": jax.tree.map(np.asarray, self.params),
+            "surfels": jax.tree.map(np.asarray, self.surfels),
+            "gs_adam": jax.tree.map(np.asarray, self.gs_adam),
+            "opts": {k: v for k, v in self.opts.items() if not callable(v)},
+        }
+        path = os.path.join(self.save_dir, f"ckpt_{round_count:04d}.pth")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        with open(os.path.join(self.save_dir, "ckpt_latest.pth"), "wb") as f:
+            pickle.dump(payload, f)
+        # canonical 3DGS ply export (`gaussian_model.py:203-220`)
+        save_ply(
+            os.path.join(self.save_dir, f"point_cloud_{round_count:04d}.ply"),
+            jax.tree.map(np.asarray, self.surfels.params),
+            np.asarray(self.surfels.alive),
+        )
+
+    def load_checkpoint(self, path: str, reset_steps: bool = True):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.params = jax.tree.map(jnp.asarray, payload["params"])
+        self.surfels = jax.tree.map(jnp.asarray, payload["surfels"])
+        self.gs_adam = jax.tree.map(jnp.asarray, payload["gs_adam"])
+        if not reset_steps:
+            self.current_steps = payload["current_steps"]
+            self.current_round = payload["current_round"]
+        return payload
+
+    def load_stage2(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        s2 = jax.tree.map(jnp.asarray, payload["params"])
+        self.params = transfer_stage2_params(s2, self.params)

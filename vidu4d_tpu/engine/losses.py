@@ -14,6 +14,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+
 # masking rule groups (`model.py:910-919`)
 KEYS_IGNORE_MASKING = ("reg_gauss_mask",)
 KEYS_ALLPIX = ("mask",)
@@ -69,20 +71,20 @@ def compute_recon_loss(rendered: Dict, aux_dict: Dict, batch: Dict, config: Dict
     if field_type in ("fg", "comp") and "fg" in aux_dict:
         fg_aux = aux_dict["fg"]
         if "feature" in fg_aux and fg_aux["feature"].shape[-1] > 0:
-            loss_dict["feature"] = jnp.linalg.norm(
+            loss_dict["feature"] = safe_norm(
                 fg_aux["feature"] - batch["feature"], axis=-1, keepdims=True
             )
         if "xy_reproj" in fg_aux:
-            loss_dict["feat_reproj"] = jnp.linalg.norm(
+            loss_dict["feat_reproj"] = safe_norm(
                 fg_aux["xy_reproj"] - batch["hxy"][..., :2], axis=-1, keepdims=True
             )
 
     loss_dict["rgb"] = (rendered["rgb"] - batch["rgb"]) ** 2
-    loss_dict["depth"] = jnp.linalg.norm(
+    loss_dict["depth"] = safe_norm(
         rendered["depth"] - batch["depth"], axis=-1, keepdims=True
     )
     if "flow" in rendered and "flow" in batch:
-        flow_l = jnp.linalg.norm(
+        flow_l = safe_norm(
             rendered["flow"] - batch["flow"], axis=-1, keepdims=True
         )
         loss_dict["flow"] = flow_l * (batch["flow_uct"] > 0).astype(flow_l.dtype)

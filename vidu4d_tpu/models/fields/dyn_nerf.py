@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+
 from vidu4d_tpu.data.frame_info import FrameInfo
 from vidu4d_tpu.models.fields.embeddings import pos_embed
 from vidu4d_tpu.models.fields.mlp import BaseMLP, CondMLP
@@ -197,7 +199,7 @@ class DynNeRF(nn.Module):
     def features(self, xyz):
         """Canonical feature head, L2-normalized (`feature.py:142-156`)."""
         feat = self.feature_field(pos_embed(xyz, 6))
-        return feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+        return safe_normalize(feat)
 
     # ------------------------------------------------------------------
     # camera / warps
@@ -345,7 +347,7 @@ class DynNeRF(nn.Module):
             xyz_cycled, cyc_aux = self.warp(
                 xyz, frame_id, inst_id, backward=False, samples_dict=samples_dict
             )
-            cyc_dist = jnp.linalg.norm(xyz_cycled - xyz_t, axis=-1, keepdims=True)
+            cyc_dist = safe_norm(xyz_cycled - xyz_t, axis=-1, keepdims=True)
             feat_dict["cyc_dist"] = cyc_dist
             for k in ("skin_entropy", "delta_skin"):
                 if k in cyc_aux and k in backwarp:
@@ -423,7 +425,7 @@ class DynNeRF(nn.Module):
             return jnp.sum(sdf)
 
         g = jax.grad(sdf_sum)(xyz_sub)
-        eik = (jnp.linalg.norm(g, axis=-1, keepdims=True) - 1.0) ** 2
+        eik = (safe_norm(g, axis=-1, keepdims=True) - 1.0) ** 2
         out = jnp.zeros((m, n, d, 1), xyz.dtype)
         return out.at[:, ::stride].set(eik)
 
@@ -438,8 +440,8 @@ class DynNeRF(nn.Module):
             return jnp.sum(sdf)
 
         g = jax.grad(sdf_fn)(xyz_cam)
-        eikonal = (jnp.linalg.norm(g, axis=-1, keepdims=True) - 1.0) ** 2
-        normal = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        eikonal = (safe_norm(g, axis=-1, keepdims=True) - 1.0) ** 2
+        normal = safe_normalize(g)
         normal = normal * jnp.array([1.0, -1.0, -1.0], dtype=normal.dtype)
         return eikonal, normal
 
@@ -494,7 +496,7 @@ class DynNeRF(nn.Module):
         valid = xyz_cam_next[..., -1:] > 1e-6
         if flow_thresh is not None:
             valid = valid & (
-                jnp.linalg.norm(flow, axis=-1, keepdims=True) < float(flow_thresh)
+                safe_norm(flow, axis=-1, keepdims=True) < float(flow_thresh)
             )
         return jnp.concatenate([flow, valid.astype(flow.dtype)], axis=-1)
 

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+
 from vidu4d_tpu.data.frame_info import FrameInfo
 from vidu4d_tpu.models.fields.embeddings import TimeEmbedding, adjusted_num_freq_t
 from vidu4d_tpu.models.fields.mlp import BaseMLP
@@ -99,14 +101,14 @@ class CameraMLP(nn.Module):
         feat = self.time_mlp(frame_id)
         trans = self.trans_head(feat)
         quat = self.quat_head(feat)
-        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+        quat = safe_normalize(quat)
 
         bq = self.base_quat[self.time_mlp.vid_of(frame_id)]
-        bq_norm = jnp.linalg.norm(bq, axis=-1, keepdims=True)
+        bq_norm = safe_norm(bq, axis=-1, keepdims=True)
         # zero-init base quats act as identity until base_init overwrites them
         bq = jnp.where(
             bq_norm > 1e-6,
-            bq / jnp.maximum(bq_norm, 1e-12),
+            bq / bq_norm,
             jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], dtype=bq.dtype), bq.shape),
         )
         return quaternion_mul(quat, bq), trans

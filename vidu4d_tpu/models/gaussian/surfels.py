@@ -21,6 +21,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+
 from vidu4d_tpu.ops import sh as sh_ops
 from vidu4d_tpu.ops.knn import mean_knn_sq_dist
 
@@ -61,9 +63,7 @@ def get_opacity(p: SurfelParams) -> jax.Array:
 
 
 def get_rotation(p: SurfelParams) -> jax.Array:
-    return p.rotation / jnp.maximum(
-        jnp.linalg.norm(p.rotation, axis=-1, keepdims=True), 1e-12
-    )
+    return safe_normalize(p.rotation)
 
 
 def get_features(p: SurfelParams) -> jax.Array:
@@ -140,7 +140,7 @@ def add_densification_stats(
 ) -> SurfelState:
     """Accumulate per-splat viewspace gradient norms + track max radii
     (`gs/train.py:117-119`, `gaussian_model.py:450-452`)."""
-    norm = jnp.linalg.norm(viewspace_grad, axis=-1)
+    norm = safe_norm(viewspace_grad, axis=-1)
     vis = visible & state.alive
     return state._replace(
         grad_accum=state.grad_accum + jnp.where(vis, norm, 0.0),

@@ -90,7 +90,8 @@ def axis_angle_to_quaternion(axis_angle: jax.Array) -> jax.Array:
 
 def quaternion_to_axis_angle(q: jax.Array) -> jax.Array:
     q = standardize_quaternion(q)
-    norm_v = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    sq_v = jnp.sum(q[..., 1:] ** 2, axis=-1, keepdims=True)
+    norm_v = jnp.sqrt(jnp.maximum(sq_v, 1e-24))
     half = jnp.arctan2(norm_v, q[..., 0:1])
     angle = 2.0 * half
     scale = jnp.where(norm_v < 1e-9, 2.0, angle / jnp.maximum(norm_v, 1e-24))
@@ -217,7 +218,7 @@ def dual_quaternion_apply(dq: DualQuaternion, point: jax.Array) -> jax.Array:
 
 def dual_quaternion_normalize(dq: DualQuaternion) -> DualQuaternion:
     q_r, q_d = dq
-    inv_mag = 1.0 / jnp.maximum(jnp.linalg.norm(q_r, axis=-1, keepdims=True), 1e-12)
+    inv_mag = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(q_r * q_r, axis=-1, keepdims=True), 1e-24))
     return q_r * inv_mag, q_d * inv_mag
 
 

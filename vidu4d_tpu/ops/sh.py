@@ -83,5 +83,5 @@ def eval_sh_color(deg: int, sh: jax.Array, means: jax.Array, cam_pos: jax.Array)
     `clamped` bookkeeping in the backward pass (autodiff gives it for free).
     """
     dirs = means - cam_pos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dirs = dirs / jnp.sqrt(jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-24))
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)

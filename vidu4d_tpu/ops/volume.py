@@ -13,6 +13,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from vidu4d_tpu.ops.numerics import safe_norm, safe_normalize
+
 # rendered quantities never integrated (`render_utils.py:152-161`)
 KEY_SKIP = ("density", "vis", "flow", "eikonal", "xy_reproj", "xyz_reproj",
             "gauss_density")
@@ -34,7 +36,7 @@ def sample_cam_rays(
     Returns (xyz (M,N,D,3), dir (M,N,D,3) unit, deltas (M,N,D,1), depth (M,N,D,1)).
     """
     direction = jnp.einsum("mni,mji->mnj", hxy, Kinv)  # hxy @ Kinv^T
-    dir_norm = jnp.linalg.norm(direction, axis=-1)  # (M, N)
+    dir_norm = safe_norm(direction, axis=-1)  # (M, N)
 
     if depth is None:
         z = jnp.linspace(0.0, 1.0, n_depth, dtype=hxy.dtype)
@@ -99,9 +101,7 @@ def integrate(field_dict: Dict[str, jax.Array], weights: jax.Array) -> Dict[str,
 
     if "normal" in rendered:
         n = rendered["normal"]
-        rendered["normal"] = n / jnp.maximum(
-            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
-        )
+        rendered["normal"] = safe_normalize(n)
 
     # normalize per-field densities into masks (`render_utils.py:176-190`)
     density_keys = [k for k in rendered if k.startswith("density_")]
