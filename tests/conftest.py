@@ -20,4 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var during
+# registration; forcing the config after import reliably selects CPU.
+if not os.environ.get("VIDU4D_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")

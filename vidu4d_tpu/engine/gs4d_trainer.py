@@ -202,7 +202,7 @@ class Stage3Trainer:
         rot = sf.get_rotation(self.surfels.params)
         xyz_cam, rot_cam, _ = mdl.warp_surfels(xyz, rot, samples)
         mdl.cycle_loss(xyz_cam, xyz, samples)
-        if "feature" in samples:
+        if "feature" in samples and self.surfels.params.regist_feat.shape[-1] > 0:
             matches = mdl.global_match(
                 samples["feature"], self.surfels.params.regist_feat, xyz
             )

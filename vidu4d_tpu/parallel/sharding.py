@@ -89,6 +89,11 @@ def make_synthetic_stage3_inputs(
     hw = res * res
     x0, y0 = np.meshgrid(range(res), range(res))
     hxy = np.stack([x0, y0, np.ones_like(x0)], -1).reshape(1, -1, 3)
+    # camera placing the cloud in front, in world units (x logscale=0.1
+    # inside get_samples -> field-space translation z=0.4 > near plane)
+    field2cam = np.tile(
+        np.array([[1.0, 0, 0, 0, 0, 0, 4.0]], np.float32), (m, 1)
+    )
     batch = {
         "rgb": rng.uniform(size=(m, hw, 3)).astype(np.float32),
         "mask": (rng.uniform(size=(m, hw, 1)) > 0.5).astype(np.float32),
@@ -100,6 +105,7 @@ def make_synthetic_stage3_inputs(
         "frameid": (np.arange(m) % frame_info.num_frames_raw).astype(np.int32),
         "frameid_sub": (np.arange(m) % frame_info.num_frames_raw).astype(np.int32),
         "hxy": np.tile(hxy, (m, 1, 1)).astype(np.float32),
+        "field2cam": field2cam,
     }
 
     def init_fn(mdl):
@@ -112,6 +118,14 @@ def make_synthetic_stage3_inputs(
         return xyz_cam
 
     params = deformer.init(jax.random.PRNGKey(seed), method=init_fn)
+    # give the zero-init intrinsics a realistic focal/principal point so the
+    # cloud covers a meaningful image area
+    p = dict(params["params"])
+    intr = dict(p["intrinsics"])
+    intr["base_logfocal"] = jnp.log(jnp.full((frame_info.num_vids, 2), 1.2 * res))
+    intr["base_ppoint"] = jnp.full((frame_info.num_vids, 2), res / 2.0)
+    p["intrinsics"] = intr
+    params = {**params, "params": p}
     return deformer, params, surfels, batch
 
 
