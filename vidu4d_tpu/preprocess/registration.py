@@ -1,0 +1,107 @@
+"""Rough camera registration from flow + depth (batched JAX).
+
+Replaces `preprocess/libs/geometry.py:21-150` +
+`preprocess/scripts/camera_registration.py`: per-pair rigid camera motion by
+(weighted) Procrustes on flow correspondences lifted with depth, chained to
+scene-to-camera world poses. The RANSAC of `compute_procrustes_robust`
+becomes a fixed-shape vmapped hypothesis sweep (TPU-friendly: no dynamic
+inlier gathering — weights instead of index selection).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vidu4d_tpu.preprocess.ops import warp_by_flow
+
+
+def weighted_procrustes(pts0: jax.Array, pts1: jax.Array,
+                        weights: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Analytic R, t minimizing sum w ||R p0 + t - p1||^2 (Kabsch/SVD,
+    `geometry.py:52-76` with weights instead of boolean masking)."""
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-8)
+    m0 = jnp.sum(pts0 * w[:, None], axis=0)
+    m1 = jnp.sum(pts1 * w[:, None], axis=0)
+    c0 = pts0 - m0
+    c1 = pts1 - m1
+    h = (c0 * w[:, None]).T @ c1
+    u, _, vt = jnp.linalg.svd(h)
+    det = jnp.linalg.det(vt.T @ u.T)
+    d = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
+    r = vt.T @ d @ u.T
+    t = m1 - r @ m0
+    return r, t
+
+
+def robust_procrustes(pts0, pts1, weights, key, num_hypotheses: int = 64,
+                      min_samples: int = 10, inlier_frac: float = 0.05):
+    """Fixed-shape RANSAC (`geometry.py:21-50`): sample K hypotheses (vmapped),
+    score weighted inliers, refit on the best hypothesis' inliers (as weights)."""
+    n = pts0.shape[0]
+    extent = jnp.mean(jnp.max(pts0, axis=0) - jnp.min(pts0, axis=0))
+    threshold = extent * inlier_frac
+
+    keys = jax.random.split(key, num_hypotheses)
+
+    def hypothesis(k):
+        # weighted sampling without replacement via gumbel top-k
+        g = jax.random.gumbel(k, (n,)) + jnp.log(jnp.maximum(weights, 1e-12))
+        _, idx = jax.lax.top_k(g, min_samples)
+        r, t = weighted_procrustes(pts0[idx], pts1[idx], jnp.ones(min_samples))
+        resid = jnp.sqrt(jnp.maximum(
+            jnp.sum((pts0 @ r.T + t - pts1) ** 2, axis=-1), 1e-24))
+        inliers = (resid < threshold).astype(jnp.float32) * weights
+        return jnp.sum(inliers), inliers
+
+    scores, inlier_sets = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(scores)
+    return weighted_procrustes(pts0, pts1, inlier_sets[best])
+
+
+def two_frame_registration(
+    depth0: jax.Array,  # (H, W)
+    depth1: jax.Array,  # (H, W)
+    flow: jax.Array,  # (H, W, 2) frame0 -> frame1, crop coords
+    kinv0: jax.Array,  # (3, 3)
+    kinv1: jax.Array,  # (3, 3)
+    mask: jax.Array,  # (H, W) weights in [0, 1]
+    key=None,
+    robust: bool = False,
+):
+    """Rigid cam0->cam1 SE(3) from correspondences (`geometry.py:78-150`)."""
+    h, w = depth0.shape
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    hp0 = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(-1, 3)
+    hp1 = jnp.stack(
+        [gx + flow[..., 0], gy + flow[..., 1], jnp.ones_like(gx)], axis=-1
+    ).reshape(-1, 3)
+
+    depth1_warped = warp_by_flow(depth1[..., None], flow)[..., 0].reshape(-1)
+    pts0 = (hp0 @ kinv0.T) * depth0.reshape(-1, 1)
+    pts1 = (hp1 @ kinv1.T) * depth1_warped[:, None]
+
+    weights = mask.reshape(-1).astype(jnp.float32) * (depth1_warped > 0)
+    if robust:
+        assert key is not None
+        r, t = robust_procrustes(pts0, pts1, weights, key)
+    else:
+        r, t = weighted_procrustes(pts0, pts1, weights)
+    rt = jnp.eye(4).at[:3, :3].set(r).at[:3, 3].set(t)
+    return rt
+
+
+def chain_poses(pairwise: jax.Array) -> jax.Array:
+    """Chain per-pair cam motions to scene-to-camera poses
+    (`camera_registration.py:43-79`): cams = [I, R01, R12 R01, ...],
+    as an associative scan (log-depth on device)."""
+    def compose(a, b):
+        return jnp.einsum("...ij,...jk->...ik", b, a)
+
+    eye = jnp.broadcast_to(jnp.eye(4), pairwise.shape)
+    chained = jax.lax.associative_scan(compose, pairwise)
+    return jnp.concatenate([eye[:1], chained], axis=0)
