@@ -481,9 +481,17 @@ class Stage3Trainer:
             self.surfels = densify_mod.prune_by_mask(self.surfels, mask)
 
     def train(self, log_fn=None):
+        from vidu4d_tpu.utils.logging import ScalarLogger
+        from vidu4d_tpu.utils.profiler import round_trace
+
+        logger = ScalarLogger(self.save_dir)
+        if log_fn is None:
+            log_fn = logger.log_loss_dict
+        profile = self.opts.get("profile", False)
         for rnd in range(self.current_round, self.opts.get("num_rounds", 60)):
             t0 = time.time()
-            metrics = self.train_one_round(log_fn=log_fn)
+            with round_trace(self.save_dir, rnd, enabled=profile):
+                metrics = self.train_one_round(log_fn=log_fn)
             self.current_round = rnd + 1
             if (rnd + 1) % self.opts.get("save_freq", 10) == 0 or (
                 rnd + 1 == self.opts.get("num_rounds", 60)

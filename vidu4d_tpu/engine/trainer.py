@@ -363,16 +363,25 @@ class Stage2Trainer:
         return float(total)
 
     def train(self, log_fn=None):
+        from vidu4d_tpu.utils.logging import ScalarLogger
+        from vidu4d_tpu.utils.profiler import round_trace
+
+        logger = ScalarLogger(self.save_dir)
+        if log_fn is None:
+            log_fn = logger.log_loss_dict
+        profile = self.opts.get("profile", False)
         for rnd in range(self.current_round, self.opts["num_rounds"]):
             t0 = time.time()
             self.update_geometry_aux()
             self.export_geometry(rnd)
-            total = self.train_one_round(log_fn=log_fn)
+            with round_trace(self.save_dir, rnd, enabled=profile):
+                total = self.train_one_round(log_fn=log_fn)
             self.current_round = rnd + 1
             if (rnd + 1) % self.opts.get("save_freq", 10) == 0 or (
                 rnd + 1 == self.opts["num_rounds"]
             ):
                 self.save_checkpoint(self.current_round)
+            # per-round wall-clock probe, same format as `trainer.py:309-310`
             print(f"Round {rnd:03d}: time={time.time() - t0:.3f}s loss={total:.4f}")
 
     def export_geometry(self, rnd: int):
