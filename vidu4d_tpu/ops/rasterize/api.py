@@ -35,7 +35,10 @@ class RasterizeConfig(NamedTuple):
     span_cap: int = 4  # max tiles per axis a splat may cover (static duplication)
     budget: int = 1024  # max composited entries per tile
     tile_chunk: int = 8  # tiles vmapped together inside lax.map
-    impl: str = "tiles"  # "tiles" (production XLA) | "naive" (O(P·HW) oracle)
+    # "tiles": differentiable XLA path (training default, budget-capped)
+    # "pallas": fused streaming TPU kernel (rendering; no per-tile budget)
+    # "naive": O(P·HW) oracle (tests)
+    impl: str = "tiles"
 
 
 def _camera_center(viewmat: jax.Array) -> jax.Array:
@@ -94,6 +97,16 @@ def rasterize(
             proj, colors, opacities, bg_color, height, width,
             tile=config.tile, span_cap=config.span_cap,
             budget=config.budget, tile_chunk=config.tile_chunk,
+        )
+    if config.impl in ("pallas", "pallas_interpret"):
+        from vidu4d_tpu.ops.rasterize.pallas_kernel import (
+            rasterize_pallas_from_projection,
+        )
+
+        return rasterize_pallas_from_projection(
+            proj, colors, opacities, bg_color, height, width,
+            tile=config.tile, span_cap=config.span_cap,
+            interpret=(config.impl == "pallas_interpret"),
         )
     raise ValueError(f"unknown rasterizer impl {config.impl!r}")
 
