@@ -200,6 +200,14 @@ class DvrModel(nn.Module):
                     field.warp.compute_post_warp_dist2(pts[:, None, None], fid, iid)
                 )
 
+        # skeleton prior (`pose.py:569-600` via multifields.skel_prior_loss)
+        if "fg" in self.fields:
+            warp = self.fields["fg"].warp
+            if isinstance(warp, SkinningWarp) and hasattr(
+                warp.articulation, "skel_prior_loss"
+            ):
+                out["reg_skel_prior"] = warp.articulation.skel_prior_loss()
+
         # camera prior loss (`nerf.py:1085-1092`)
         if self._rtmat_prior is not None:
             cam_losses = []

@@ -71,6 +71,7 @@ class SkinningField(nn.Module):
     num_freq_t: int = 6
     inst_channels: int = 32
     init_scale: float = 0.03
+    symm_idx: Optional[tuple] = None  # left/right bone symmetry averaging
 
     def setup(self):
         self.log_gauss = self.param(
@@ -92,8 +93,12 @@ class SkinningField(nn.Module):
             )
 
     def get_gauss(self) -> jax.Array:
-        """(B, 3) per-bone Gaussian scales."""
-        return jnp.exp(self.log_gauss)
+        """(B, 3) per-bone Gaussian scales, symmetry-averaged for skeletons
+        (`skinning.py:143-151`)."""
+        log_gauss = self.log_gauss
+        if self.symm_idx is not None:
+            log_gauss = (log_gauss[jnp.asarray(self.symm_idx)] + log_gauss) / 2.0
+        return jnp.exp(log_gauss)
 
     def __call__(
         self,

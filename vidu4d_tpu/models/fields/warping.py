@@ -144,10 +144,12 @@ class DenseWarpSE3(nn.Module):
 
 
 class SkinningWarp(nn.Module):
-    """Neural dual-quaternion blend-skinning warp (`warping.py:325-514`)."""
+    """Neural dual-quaternion blend-skinning warp (`warping.py:325-514`).
+    skel_type "flat" = bag of bones; "human"/"quad" = predefined skeleton."""
 
     frame_info: FrameInfo
     num_se3: int = 25
+    skel_type: str = "flat"
     num_freq_xyz: int = 10
     num_freq_t: int = 6
     init_gauss_scale: float = 0.03
@@ -156,15 +158,30 @@ class SkinningWarp(nn.Module):
 
     def setup(self):
         num_inst = self.frame_info.num_vids
-        self.articulation = ArticulationFlatMLP(
-            frame_info=self.frame_info, num_se3=self.num_se3
-        )
+        if self.skel_type == "flat":
+            self.articulation = ArticulationFlatMLP(
+                frame_info=self.frame_info, num_se3=self.num_se3
+            )
+            num_se3 = self.num_se3
+            symm_idx = None
+        else:
+            from vidu4d_tpu.models.fields.skeleton import (
+                ArticulationSkelMLP,
+                get_predefined_skeleton,
+            )
+
+            self.articulation = ArticulationSkelMLP(
+                frame_info=self.frame_info, skel_type=self.skel_type
+            )
+            _, _, symm_idx = get_predefined_skeleton(self.skel_type)
+            num_se3 = len(symm_idx)
         self.skinning_model = SkinningField(
-            num_coords=self.num_se3,
+            num_coords=num_se3,
             frame_info=self.frame_info,
             num_inst=num_inst,
             init_scale=self.init_gauss_scale,
             delta_skin=self.delta_skin,
+            symm_idx=tuple(symm_idx) if symm_idx is not None else None,
         )
         self.logibeta = self.param(
             "logibeta",
@@ -235,10 +252,12 @@ class ComposedWarp(nn.Module):
 
     frame_info: FrameInfo
     num_se3: int = 25
+    skel_type: str = "flat"
 
     def setup(self):
         self.skin_warp = SkinningWarp(
-            frame_info=self.frame_info, num_se3=self.num_se3
+            frame_info=self.frame_info, num_se3=self.num_se3,
+            skel_type=self.skel_type,
         )
         self.post_warp = DenseWarp(frame_info=self.frame_info, depth=2, width=256)
 
@@ -276,6 +295,11 @@ def warp_module(fg_motion: str, frame_info: FrameInfo) -> nn.Module:
         return SkinningWarp(frame_info=frame_info, delta_skin=False)
     if fg_motion == "bob-sc":
         return SkinningWarp(frame_info=frame_info, delta_skin=False, num_se3=100)
+    if fg_motion.startswith("skel-"):
+        return SkinningWarp(frame_info=frame_info, skel_type=fg_motion.split("-")[1])
     if fg_motion.startswith("comp"):
-        return ComposedWarp(frame_info=frame_info)
+        # "comp_skel-{human,quad}_{bob,dense}" (`warping.py:58-66`)
+        parts = fg_motion.split("_")
+        skel = parts[1].split("-")[1] if len(parts) > 1 and "skel" in parts[1] else "flat"
+        return ComposedWarp(frame_info=frame_info, skel_type=skel)
     raise NotImplementedError(f"fg_motion {fg_motion!r}")

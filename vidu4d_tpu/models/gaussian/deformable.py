@@ -84,7 +84,19 @@ class GaussianDeformer(nn.Module):
         if "feature" in batch:
             samples["feature"] = batch["feature"]
         if isinstance(self.warp, SkinningWarp):
-            t_art, rest_art = self.warp.articulation.vals_and_mean(frame_id)
+            if "joint_so3" in batch and hasattr(self.warp.articulation, "so3_at"):
+                # skeleton reanimation: drive joints with exported so3
+                # (`deformable_gaussian.py:1697-1711`)
+                t_art = self.warp.articulation(
+                    frame_id, override_so3=batch["joint_so3"]
+                )
+                rest_art = self.warp.articulation.mean_vals()
+                rest_art = (
+                    jnp.broadcast_to(rest_art[0], t_art[0].shape),
+                    jnp.broadcast_to(rest_art[1], t_art[1].shape),
+                )
+            else:
+                t_art, rest_art = self.warp.articulation.vals_and_mean(frame_id)
             if "t_articulation" in batch:
                 # reanimation: drive with another video's exported motion
                 # (`reanimate.py:31-60` overrides the articulation)
