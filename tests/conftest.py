@@ -26,3 +26,7 @@ if not os.environ.get("VIDU4D_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: repeated test runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/vidu4d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -295,6 +295,10 @@ def warp_module(fg_motion: str, frame_info: FrameInfo) -> nn.Module:
         return SkinningWarp(frame_info=frame_info, delta_skin=False)
     if fg_motion == "bob-sc":
         return SkinningWarp(frame_info=frame_info, delta_skin=False, num_se3=100)
+    if fg_motion == "nvp":
+        from vidu4d_tpu.models.fields.nvp import NVPWarp
+
+        return NVPWarp(frame_info=frame_info)
     if fg_motion.startswith("skel-"):
         return SkinningWarp(frame_info=frame_info, skel_type=fg_motion.split("-")[1])
     if fg_motion.startswith("comp"):
