@@ -65,11 +65,15 @@ def test_stage2_to_stage3_handoff(tmp_path):
         s2_payload = pickle.load(f)
     src = s2_payload["params"]["params"]["fields_fg"]["warp"]
     dst = s3.params["params"]["warp"]
-    for (pa, a), (pb, b) in zip(
-        sorted(jax.tree_util.tree_flatten_with_path(src)[0]),
-        sorted(jax.tree_util.tree_flatten_with_path(dst)[0]),
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    flat_src = {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(src)[0]}
+    flat_dst = {jax.tree_util.keystr(p): v
+                for p, v in jax.tree_util.tree_flatten_with_path(dst)[0]}
+    assert set(flat_src) == set(flat_dst)
+    for k in flat_src:
+        np.testing.assert_array_equal(
+            np.asarray(flat_src[k]), np.asarray(flat_dst[k]), err_msg=k
+        )
 
     s3.train()
     assert s3.current_steps == 2

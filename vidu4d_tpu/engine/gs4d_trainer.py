@@ -220,6 +220,7 @@ class Stage3Trainer:
         o = self.opts
         return {
             "field_type": "fg",
+            "arap_wt": o.get("arap_wt", 0.0),
             "train_res": self.res,
             "mask_wt": o.get("mask_wt", 0.1),
             "rgb_wt": o.get("rgb_wt", 0.1),
@@ -340,6 +341,21 @@ class Stage3Trainer:
                     loss_dict["reg_volume_loss"] = (
                         cfg["reg_volume_loss_wt"]
                         * jnp.mean(jnp.prod(scaling, axis=1) * state_alive)
+                    )
+
+                # ARAP rigidity on bone centers between the pair frames
+                # (`model.py:868-878`, default off)
+                if cfg.get("arap_wt", 0.0) > 0 and "t_articulation" in samples:
+                    from vidu4d_tpu.models.fields.skinning import arap_bone_loss
+                    from vidu4d_tpu.ops.quaternion import (
+                        dual_quaternion_to_quaternion_translation,
+                    )
+
+                    _, bones = dual_quaternion_to_quaternion_translation(
+                        samples["t_articulation"]
+                    )
+                    loss_dict["arap"] = cfg["arap_wt"] * arap_bone_loss(
+                        bones[0], bones[1 % bones.shape[0]]
                     )
 
             # apply weights for the dense keys
@@ -490,6 +506,19 @@ class Stage3Trainer:
         profile = self.opts.get("profile", False)
         for rnd in range(self.current_round, self.opts.get("num_rounds", 60)):
             t0 = time.time()
+            # per-round eval render to tensorboard (`trainer.py:319-323,767-794`)
+            try:
+                from vidu4d_tpu.utils.camera_trajectories import construct_batch
+
+                eval_batch = construct_batch(
+                    inst_id=0, frameid_sub=np.arange(1), eval_res=self.res,
+                    field2cam=None, camera_int=None, crop2raw=None,
+                )
+                rendered = self.render_batch(eval_batch, res=self.res)
+                logger.image(rnd, "eval/rendered", rendered["rendered"][0])
+                logger.image(rnd, "eval/mask", rendered["mask"][0])
+            except Exception as e:  # logging must never kill training
+                print(f"[eval render skipped: {e}]")
             with round_trace(self.save_dir, rnd, enabled=profile):
                 metrics = self.train_one_round(log_fn=log_fn)
             self.current_round = rnd + 1

@@ -58,6 +58,28 @@ def entropy_loss(prob: jax.Array, axis: int = -1) -> jax.Array:
     return -jnp.sum(prob * jnp.log(prob + 1e-9), axis=axis)
 
 
+def arap_bone_loss(bones_t1: jax.Array, bones_t2: jax.Array, k: int = 10) -> jax.Array:
+    """As-rigid-as-possible rigidity on bone centers between two frames.
+
+    Simplified equivalent of the reference's ARAP term on articulation
+    translations (`lab4d/nnutils/util.py:4-13`, default-off via arap_wt=0):
+    preserve pairwise distances to the K nearest bones.
+
+    Args:
+        bones_t1, bones_t2: (B, 3) bone centers at two frames.
+    """
+    d1 = jnp.sum((bones_t1[:, None] - bones_t1[None]) ** 2, axis=-1)
+    d2 = jnp.sum((bones_t2[:, None] - bones_t2[None]) ** 2, axis=-1)
+    b = bones_t1.shape[0]
+    k = min(k, b - 1)
+    big = jnp.max(d1) + 1.0
+    d1_self = d1 + jnp.eye(b) * big
+    _, idx = jax.lax.top_k(-d1_self, k)  # (B, K) nearest neighbors at t1
+    l1 = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d1, idx, axis=1), 1e-12))
+    l2 = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d2, idx, axis=1), 1e-12))
+    return jnp.mean((l1 - l2) ** 2)
+
+
 class SkinningField(nn.Module):
     """Per-bone 3D Gaussian skinning weights + optional delta-skin MLP."""
 
