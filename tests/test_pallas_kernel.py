@@ -34,3 +34,46 @@ def test_pallas_matches_xla_tiles_interpret():
         a = np.asarray(getattr(ref, name))
         b = np.asarray(getattr(out, name))
         np.testing.assert_allclose(a, b, atol=5e-6, rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.slow
+def test_pallas_backward_matches_autodiff_interpret():
+    """Hand-written backward kernel vs XLA autodiff gradients."""
+    import jax
+
+    from vidu4d_tpu.ops.rasterize.pallas_backward import rasterize_pallas_grad
+
+    rng = np.random.default_rng(7)
+    means, quats, scales, opac, colors, viewmat, intrins = make_scene(rng, n=80)
+    bg = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+    H = W = 32
+
+    def make_loss(raster):
+        def loss(means, quats, scales, opac, colors, bg):
+            proj = project_splats(means, quats, scales, viewmat, intrins)
+            out = raster(proj, colors, opac, bg)
+            return (
+                jnp.mean(out.color ** 2) + 0.3 * jnp.mean(out.depth)
+                + 0.2 * jnp.mean(out.alpha) + 0.1 * jnp.mean(out.normal)
+            )
+        return loss
+
+    loss_xla = make_loss(
+        lambda p, c, o, b: rasterize_tiles_from_projection(
+            p, c, o, b, H, W, tile=16, span_cap=4, budget=128, tile_chunk=2
+        )
+    )
+    loss_pal = make_loss(
+        lambda p, c, o, b: rasterize_pallas_grad(
+            p, c, o, b, H, W, tile=16, span_cap=4, interpret=True
+        )
+    )
+    args = (means, quats, scales, opac, colors, bg)
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=tuple(range(6)))(*args)
+    v2, g2 = jax.value_and_grad(loss_pal, argnums=tuple(range(6)))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means", "quats", "scales", "opac",
+                                   "colors", "bg"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
+        )

@@ -1,0 +1,428 @@
+"""Pallas backward kernel for the tiled surfel rasterizer.
+
+Implements the analytic backward of per-tile alpha compositing for the
+cotangents used in training (color, expected depth, alpha, normal — the
+distortion/median auxiliaries default to zero loss weight in the reference,
+`lambda_dist=0`, and median depth is never supervised). Semantics mirror
+`backward.cu:144-449`: a back-to-front traversal reconstructing the
+transmittance chain by division, with suffix accumulators replacing atomics.
+
+Design:
+* residuals from the forward: final transmittance T_fin and the per-pixel
+  contributor count n_contrib (like the reference's final_T / n_contrib
+  buffers);
+* one program per tile, chunks walked in REVERSE; within a chunk the
+  T-chain and the suffix sums are resolved with Hillis-Steele prefix ops
+  over the lane (entry) axis — no sequential splat loop;
+* per-entry gradients (d tu/tv/tw, d center2d, d opacity, d rgb, d normal)
+  are accumulated into a transposed (32, E) grad slab with read-modify-write
+  chunk DMAs. The grid is marked "arbitrary" so programs execute
+  sequentially and boundary chunks shared by two tiles cannot race;
+* an XLA epilogue reduces entry gradients to splat gradients (inverse
+  permutation + segment reshape — the atomics-free equivalent of
+  `backward.cu`'s atomicAdd into dL_d*).
+
+`rasterize_pallas_grad` wires forward+backward into a jax.custom_vjp whose
+outputs/gradients are pinned to the autodiff XLA path in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vidu4d_tpu.ops.rasterize import common
+from vidu4d_tpu.ops.rasterize.pallas_kernel import (
+    CHUNK,
+    _F,
+    _CX,
+    _CY,
+    _NRM,
+    _OPAC,
+    _RGB,
+    _TU,
+    _TV,
+    _TW,
+    _prefix_add_lanes,
+    _prefix_mul_lanes,
+)
+
+
+def _suffix_mul_lanes(x):
+    """Inclusive suffix product along lanes (Hillis-Steele, rolls only —
+    Mosaic has no `rev`)."""
+    k = x.shape[1]
+    steps = int(math.log2(k))
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s in range(steps):
+        shift = 1 << s
+        shifted = pltpu.roll(x, (k - shift) % k, axis=1)  # x[i + shift]
+        x = x * jnp.where(col < k - shift, shifted, 1.0)
+    return x
+
+
+def _suffix_add_lanes(x):
+    k = x.shape[1]
+    steps = int(math.log2(k))
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s in range(steps):
+        shift = 1 << s
+        shifted = pltpu.roll(x, (k - shift) % k, axis=1)
+        x = x + jnp.where(col < k - shift, shifted, 0.0)
+    return x
+
+
+def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
+    px_n = tile * tile
+
+    def kernel(start_ref, count_ref, props_hbm, cot_ref, resid_ref,
+               grads_in_hbm, grads_hbm, scratch, gscratch, sem, gsem):
+        del grads_in_hbm  # aliased with grads_hbm (read-modify-write)
+        t = pl.program_id(0)
+        start = start_ref[t]
+        count = count_ref[t]
+        base_x = (t % tiles_x) * tile
+        base_y = (t // tiles_x) * tile
+
+        lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
+        pxf = (base_x + lin % tile).astype(jnp.float32) + 0.5
+        pyf = (base_y + lin // tile).astype(jnp.float32) + 0.5
+
+        # cotangents + residuals for this tile's pixels: (1, px_n, c)
+        g_c = [cot_ref[0, :, i][:, None] for i in range(3)]  # color
+        g_d = cot_ref[0, :, 3][:, None]
+        g_a = cot_ref[0, :, 4][:, None]  # alpha output
+        g_n = [cot_ref[0, :, 5 + i][:, None] for i in range(3)]
+        g_bgdot = cot_ref[0, :, 8][:, None]  # sum_c gC_c * bg_c
+        t_fin = resid_ref[0, :, 0][:, None]
+        n_contrib = resid_ref[0, :, 1][:, None]  # float count
+
+        # d L / d T_fin: alpha output = 1 - T_fin, color += T_fin * bg
+        g_tfin = -g_a + g_bgdot
+
+        base0 = (start // CHUNK) * CHUNK
+        num_chunks = pl.cdiv(start + count - base0, CHUNK)
+
+        def body(ci, carry):
+            t_after, s_gw = carry  # (px_n, 1) each
+            c = num_chunks - 1 - ci  # reverse order
+            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
+            base = pl.multiple_of(base, CHUNK)
+            copy = pltpu.make_async_copy(
+                props_hbm.at[:, pl.ds(base, CHUNK)], scratch, sem
+            )
+            copy.start()
+            copy.wait()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            entry_id = base + lane
+            valid_k = (entry_id >= start) & (entry_id < start + count)
+            # rank within the tile (0-based); included iff rank < n_contrib
+            rank = (entry_id - start).astype(jnp.float32)
+
+            row = lambda i: scratch[i, :][None, :]
+            # recompute the forward response (same math as the fwd kernel)
+            kx = pxf * row(_TW) - row(_TU)
+            ky = pxf * row(_TW + 1) - row(_TU + 1)
+            kz = pxf * row(_TW + 2) - row(_TU + 2)
+            lx = pyf * row(_TW) - row(_TV)
+            ly = pyf * row(_TW + 1) - row(_TV + 1)
+            lz = pyf * row(_TW + 2) - row(_TV + 2)
+            px_ = ky * lz - kz * ly
+            py_ = kz * lx - kx * lz
+            pz_ = kx * ly - ky * lx
+            pz_ok = pz_ != 0.0
+            pz_safe = jnp.where(pz_ok, pz_, 1.0)
+            sx = px_ / pz_safe
+            sy = py_ / pz_safe
+            rho3d = sx * sx + sy * sy
+            dx = row(_CX) - pxf
+            dy = row(_CY) - pyf
+            rho2d = common.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            use3d = rho3d <= rho2d
+            rho = jnp.minimum(rho3d, rho2d)
+            depth = jnp.where(
+                use3d,
+                sx * row(_TW) + sy * row(_TW + 1) + row(_TW + 2),
+                jnp.broadcast_to(row(_TW + 2), rho3d.shape),
+            )
+            alpha_raw = row(_OPAC) * jnp.exp(-0.5 * rho)
+            clamped = alpha_raw > common.ALPHA_CLAMP
+            alpha = jnp.minimum(common.ALPHA_CLAMP, alpha_raw)
+            ok = (
+                pz_ok & (depth >= common.NEAR_PLANE)
+                & (alpha >= common.ALPHA_EPS) & valid_k
+                & (rank < n_contrib)
+            )
+            alpha = jnp.where(ok, alpha, 0.0)
+
+            om = 1.0 - alpha
+            # T before entry i = t_after / prod_{j >= i in chunk}(1 - a_j)
+            # ... computed as suffix product then division-free recurrence:
+            sp_incl = _suffix_mul_lanes(om)  # prod_{j>=i}
+            t_before = t_after / sp_incl  # (px_n, CHUNK); om>=0.01 when ok
+            w = alpha * t_before
+
+            # Gw: cotangent wrt w_i (color/depth/normal terms)
+            gw = (
+                row(_RGB) * g_c[0] + row(_RGB + 1) * g_c[1]
+                + row(_RGB + 2) * g_c[2]
+                + depth * g_d
+                + row(_NRM) * g_n[0] + row(_NRM + 1) * g_n[1]
+                + row(_NRM + 2) * g_n[2]
+            )
+
+            # suffix over j > i of Gw_j w_j (within chunk + carry)
+            gww = gw * w
+            suf_gww = _suffix_add_lanes(gww) - gww + s_gw
+            om_safe = jnp.maximum(om, 1e-3)
+            g_alpha = gw * t_before - (suf_gww + g_tfin * t_fin) / om_safe
+            g_alpha = jnp.where(ok & ~clamped, g_alpha, 0.0)
+
+            # chain alpha -> (opacity, rho)
+            exp_term = jnp.exp(-0.5 * rho)
+            g_opac = g_alpha * exp_term
+            g_rho = g_alpha * row(_OPAC) * exp_term * (-0.5)
+
+            # depth cotangent per entry
+            g_depth = jnp.where(ok, w * g_d, 0.0)
+
+            # rho3d branch: rho3d = sx^2 + sy^2 ; depth3d = sx twx + sy twy + twz
+            g_sx = jnp.where(use3d, 2.0 * sx * g_rho + row(_TW) * g_depth, 0.0)
+            g_sy = jnp.where(use3d, 2.0 * sy * g_rho + row(_TW + 1) * g_depth, 0.0)
+            # s = p.xy / p.z
+            g_px = g_sx / pz_safe
+            g_py = g_sy / pz_safe
+            g_pz = -(g_sx * sx + g_sy * sy) / pz_safe
+            # p = cross(k, l)
+            g_kx = ly * g_pz - lz * g_py
+            g_ky = lz * g_px - lx * g_pz
+            g_kz = lx * g_py - ly * g_px
+            g_lx = kz * g_py - ky * g_pz
+            g_ly = kx * g_pz - kz * g_px
+            g_lz = ky * g_px - kx * g_py
+            # k = px*Tw - Tu ; l = py*Tw - Tv
+            g_tu = (-g_kx, -g_ky, -g_kz)
+            g_tv = (-g_lx, -g_ly, -g_lz)
+            g_tw0 = pxf * g_kx + pyf * g_lx
+            g_tw1 = pxf * g_ky + pyf * g_ly
+            g_tw2 = pxf * g_kz + pyf * g_lz
+            # depth contributions to Tw (3d branch: s·(twx,twy)+twz; 2d: twz)
+            g_tw0 = g_tw0 + jnp.where(use3d, sx * g_depth, 0.0)
+            g_tw1 = g_tw1 + jnp.where(use3d, sy * g_depth, 0.0)
+            g_tw2 = g_tw2 + g_depth
+
+            # rho2d branch: center2d gradients
+            g_cx = jnp.where(use3d, 0.0,
+                             g_rho * common.FILTER_INV_SQUARE * 2.0 * dx)
+            g_cy = jnp.where(use3d, 0.0,
+                             g_rho * common.FILTER_INV_SQUARE * 2.0 * dy)
+
+            g_rgb = (w * g_c[0], w * g_c[1], w * g_c[2])
+            g_nrm = (w * g_n[0], w * g_n[1], w * g_n[2])
+
+            # reduce over pixels -> per-entry grads (1, CHUNK), place in rows
+            def psum(x):
+                return jnp.sum(jnp.where(ok, x, 0.0), axis=0, keepdims=True)
+
+            gcopy_in = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(base, CHUNK)], gscratch, gsem
+            )
+            gcopy_in.start()
+            gcopy_in.wait()
+            acc = gscratch[:, :]
+            rows = [
+                (psum(g_tu[0]), _TU), (psum(g_tu[1]), _TU + 1), (psum(g_tu[2]), _TU + 2),
+                (psum(g_tv[0]), _TV), (psum(g_tv[1]), _TV + 1), (psum(g_tv[2]), _TV + 2),
+                (psum(g_tw0), _TW), (psum(g_tw1), _TW + 1), (psum(g_tw2), _TW + 2),
+                (psum(g_cx), _CX), (psum(g_cy), _CY),
+                (psum(g_opac), _OPAC),
+                (psum(g_rgb[0]), _RGB), (psum(g_rgb[1]), _RGB + 1), (psum(g_rgb[2]), _RGB + 2),
+                (psum(g_nrm[0]), _NRM), (psum(g_nrm[1]), _NRM + 1), (psum(g_nrm[2]), _NRM + 2),
+            ]
+            for val, r in rows:
+                gscratch[r, :] = acc[r, :] + val[0]
+            gcopy_out = pltpu.make_async_copy(
+                gscratch, grads_hbm.at[:, pl.ds(base, CHUNK)], gsem
+            )
+            gcopy_out.start()
+            gcopy_out.wait()
+
+            # carries for the next (earlier) chunk
+            t_after2 = t_before[:, 0:1] * jnp.ones_like(t_after)
+            # t_before of the FIRST lane is T after all earlier entries
+            t_after2 = t_before[:, 0][:, None]
+            s_gw2 = s_gw + jnp.sum(gww, axis=1, keepdims=True)
+            return (t_after2, s_gw2)
+
+        jax.lax.fori_loop(
+            0, num_chunks, body,
+            (t_fin * jnp.ones((px_n, 1), jnp.float32),
+             jnp.zeros((px_n, 1), jnp.float32)),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "interpret"),
+)
+def backward_pallas(
+    slab: jax.Array,  # (32, E) transposed prop slab (forward layout)
+    tile_start: jax.Array,
+    tile_count: jax.Array,
+    cot: jax.Array,  # (num_tiles, px_n, 9): gC(3) gD gA gN(3) gBGdot
+    resid: jax.Array,  # (num_tiles, px_n, 2): T_fin, n_contrib
+    height: int,
+    width: int,
+    tile: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-entry gradient slab (32, E)."""
+    tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
+    num_tiles = tiles_x * tiles_y
+    px_n = tile * tile
+    n_entries = slab.shape[1]
+
+    kernel = _make_bwd_kernel(tiles_x, tile, n_entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # props slab
+            pl.BlockSpec((1, px_n, 9), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, px_n, 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # zero-init grads (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((_F, CHUNK), jnp.float32),
+            pltpu.VMEM((_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_F, n_entries), jnp.float32),
+        input_output_aliases={5: 0},  # zeros input (after 2 scalar-prefetch + 3 operands) aliases the output
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: RMW chunks safe
+        ),
+    )(tile_start, tile_count, slab, cot, resid,
+      jnp.zeros((_F, n_entries), jnp.float32))
+    return grads
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper: Pallas forward + Pallas backward on the training path
+# ---------------------------------------------------------------------------
+
+
+def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool):
+    from vidu4d_tpu.ops.rasterize.pallas_kernel import forward_tiles_pallas
+
+    px_n = tile * tile
+
+    @jax.custom_vjp
+    def core(slab, tile_start, tile_count, bg):
+        color, aux = forward_tiles_pallas(
+            slab, tile_start, tile_count, bg, tiles_x, tiles_y, tile,
+            interpret=interpret,
+        )
+        return color, aux[..., :8]
+
+    def fwd(slab, tile_start, tile_count, bg):
+        color, aux = forward_tiles_pallas(
+            slab, tile_start, tile_count, bg, tiles_x, tiles_y, tile,
+            interpret=interpret,
+        )
+        resid = aux[..., 8:10]  # t_fin, n_contrib
+        return (color, aux[..., :8]), (slab, tile_start, tile_count, bg, resid)
+
+    def bwd(res, cots):
+        slab, tile_start, tile_count, bg, resid = res
+        g_color, g_aux = cots
+        # supported cotangents: color, depth(0), alpha(1), normal(2:5).
+        # distortion/median cotangents are dropped (zero loss weight in the
+        # reference defaults; use the XLA path when lambda_dist > 0).
+        g_bgdot = jnp.einsum("tpc,c->tp", g_color, bg)[..., None]
+        cot = jnp.concatenate(
+            [g_color, g_aux[..., 0:1], g_aux[..., 1:2], g_aux[..., 2:5],
+             g_bgdot], axis=-1,
+        )
+        height = tiles_y * tile
+        width = tiles_x * tile
+        g_slab = backward_pallas(
+            slab, tile_start, tile_count, cot, resid, height, width,
+            tile=tile, interpret=interpret,
+        )
+        t_fin = resid[..., 0]
+        g_bg = jnp.einsum("tp,tpc->c", t_fin, g_color)
+        zero_i = jnp.zeros(tile_start.shape, jax.dtypes.float0)
+        zero_c = jnp.zeros(tile_count.shape, jax.dtypes.float0)
+        return g_slab, zero_i, zero_c, g_bg
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "span_cap", "interpret"),
+)
+def rasterize_pallas_grad(
+    proj,
+    colors,
+    opacities,
+    bg_color,
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+    interpret: bool = False,
+):
+    """Differentiable Pallas rasterization (fwd + analytic bwd kernels).
+
+    Returns a CompositeOutput; gradients flow to proj fields / colors /
+    opacities / bg through the slab gather (XLA transposes it to the
+    scatter-add that `backward.cu` does with atomics)."""
+    from vidu4d_tpu.ops.rasterize.compositing import CompositeOutput
+    from vidu4d_tpu.ops.rasterize.pallas_kernel import pack_props
+
+    tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
+    binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
+    slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
+    core = _make_core(tiles_x, tiles_y, tile, interpret)
+    color, aux = core(slab, binning.tile_start, binning.tile_count, bg_color[:3])
+
+    def assemble(x):
+        feat = x.shape[2:]
+        img = x.reshape((tiles_y, tiles_x, tile, tile) + feat)
+        img = jnp.swapaxes(img, 1, 2).reshape(
+            (tiles_y * tile, tiles_x * tile) + feat
+        )
+        return img[:height, :width]
+
+    color = assemble(color)
+    aux = assemble(aux)
+    return CompositeOutput(
+        color=color,
+        depth=aux[..., 0],
+        alpha=aux[..., 1],
+        normal=aux[..., 2:5],
+        median_depth=jax.lax.stop_gradient(aux[..., 5]),
+        distortion=jax.lax.stop_gradient(aux[..., 6]),
+        median_weight=jax.lax.stop_gradient(aux[..., 7]),
+        final_t=1.0 - aux[..., 1],
+    )

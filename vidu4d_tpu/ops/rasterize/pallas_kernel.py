@@ -103,11 +103,12 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
             zeros, zeros,  # dist1, dist2
             zeros,  # distortion
             zeros, zeros,  # med_depth, med_w
+            zeros,  # n_contrib (last composited rank + 1)
         )
 
         def body(c, carry):
             (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-             dist1, dist2, distort, med_d, med_w) = carry
+             dist1, dist2, distort, med_d, med_w, ncon) = carry
 
             base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
             base = pl.multiple_of(base, CHUNK)
@@ -203,11 +204,17 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
                 jnp.where(include, t_incl, jnp.broadcast_to(t_c, t_incl.shape)),
                 axis=1, keepdims=True,
             )
+            # contributor count residual for the backward kernel
+            rank1 = (entry_id - start + 1).astype(jnp.float32)
+            ncon2 = jnp.maximum(
+                ncon,
+                jnp.max(jnp.where(w > 0, rank1, 0.0), axis=1, keepdims=True),
+            )
             return (t_c2, cr2, cg2, cb2, d2_, nx2, ny2, nz2,
-                    dist1_2, dist2_2, distort2, med_d2, med_w2)
+                    dist1_2, dist2_2, distort2, med_d2, med_w2, ncon2)
 
         (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-         dist1, dist2, distort, med_d, med_w) = jax.lax.fori_loop(
+         dist1, dist2, distort, med_d, med_w, ncon) = jax.lax.fori_loop(
             0, num_chunks, body, carry0
         )
 
@@ -222,6 +229,8 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
         aux_ref[0, :, 5] = med_d[:, 0]
         aux_ref[0, :, 6] = distort[:, 0]
         aux_ref[0, :, 7] = med_w[:, 0]
+        aux_ref[0, :, 8] = t_c[:, 0]
+        aux_ref[0, :, 9] = ncon[:, 0]
 
     return kernel
 
@@ -250,6 +259,43 @@ def pack_props(proj: common.SplatProjection, colors, opacities,
     return jnp.pad(slab, ((0, 0), (0, pad)))
 
 
+def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
+                         tiles_x: int, tiles_y: int, tile: int,
+                         interpret: bool = False):
+    """Tile-space forward: returns (color (T,px,3), aux (T,px,10))."""
+    num_tiles = tiles_x * tiles_y
+    px_n = tile * tile
+    n_entries = slab.shape[1]
+    kernel = _make_kernel(tiles_x, tile, n_entries)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, px_n, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, px_n, 10), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, px_n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, px_n, 10), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tile_start, tile_count, slab, bg_color[None, :3])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "span_cap", "interpret"),
@@ -269,41 +315,14 @@ def rasterize_pallas_from_projection(
     `xla_tiles.rasterize_tiles_from_projection` (no per-tile entry budget:
     the kernel streams arbitrarily many entries per tile)."""
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
-    num_tiles = tiles_x * tiles_y
     px_n = tile * tile
 
     binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
     slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
-    n_entries = slab.shape[1]
-
-    kernel = _make_kernel(tiles_x, tile, n_entries)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # props slab (DMA'd manually)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg color (1, 3)
-        ],
-        out_specs=(
-            pl.BlockSpec((1, px_n, 3), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px_n, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+    color, aux = forward_tiles_pallas(
+        slab, binning.tile_start, binning.tile_count, bg_color,
+        tiles_x, tiles_y, tile, interpret=interpret,
     )
-    color, aux = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, px_n, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, px_n, 8), jnp.float32),
-        ),
-        interpret=interpret,
-    )(binning.tile_start, binning.tile_count, slab, bg_color[None, :3])
 
     def assemble(x):
         feat = x.shape[2:]
