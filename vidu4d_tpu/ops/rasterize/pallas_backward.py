@@ -253,9 +253,7 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
             gcopy_out.start()
             gcopy_out.wait()
 
-            # carries for the next (earlier) chunk
-            t_after2 = t_before[:, 0:1] * jnp.ones_like(t_after)
-            # t_before of the FIRST lane is T after all earlier entries
+            # carry: t_before of the FIRST lane = T after all earlier entries
             t_after2 = t_before[:, 0][:, None]
             s_gw2 = s_gw + jnp.sum(gww, axis=1, keepdims=True)
             return (t_after2, s_gw2)

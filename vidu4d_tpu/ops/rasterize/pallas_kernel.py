@@ -18,9 +18,9 @@ entries from HBM and composites them with in-register prefix ops:
 * depth/normal/median/distortion auxiliaries accumulate in carries matching
   the 8-channel out_others contract (`auxiliary.h:25-30`).
 
-Gradients: rendering (eval) uses this kernel; training uses the autodiff XLA
-path (`xla_tiles.py`), which parity tests pin to this kernel bit-for-bit.
-A custom-VJP backward kernel is the planned next step.
+Gradients: `pallas_backward.rasterize_pallas_grad` pairs this forward with
+the analytic backward kernel via jax.custom_vjp; the autodiff XLA path
+(`xla_tiles.py`) remains available and pins both in parity tests.
 """
 
 from __future__ import annotations
