@@ -31,7 +31,9 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
     pts = rng.normal(size=(n_splats, 3)).astype(np.float32)
     pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6)
     pts *= rng.uniform(0.7, 1.0, size=(n_splats, 1)).astype(np.float32) * 0.12
-    cols = (0.5 + 0.5 * np.abs(pts / 0.12)).astype(np.float32)
+    # textured (rotation-observable) coloring: random per-splat colors — a
+    # radially-symmetric pattern makes camera registration ill-posed
+    cols = rng.uniform(0.1, 1.0, size=(n_splats, 3)).astype(np.float32)
     state = sf.init_from_points(jnp.asarray(pts), jnp.asarray(cols),
                                 capacity=n_splats, sh_degree=0)
     params = state.params._replace(
@@ -43,8 +45,8 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
 
     frames, masks = [], []
     for t in range(n_frames):
-        ang = 0.15 * t
-        breathe = 1.0 + 0.15 * np.sin(0.5 * t)
+        ang = 0.08 * t
+        breathe = 1.0 + 0.1 * np.sin(0.5 * t)
         rot = np.array([
             [np.cos(ang), 0, np.sin(ang)],
             [0, 1, 0],
