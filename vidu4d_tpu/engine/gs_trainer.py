@@ -158,6 +158,29 @@ def densify_step(
     )
 
 
+def render_viewer_frame(state: sf.SurfelState, cam, active_sh: int,
+                        config: GsTrainConfig) -> np.ndarray:
+    """Render one live-viewer request (`gs/train.py:58-60`).
+
+    ``cam`` is a `utils.network_gui.ViewerCamera`; scaling_modifier scales
+    the surfel extents like the reference's rasterizer settings knob.
+    """
+    params = state.params
+    if cam.scaling_modifier != 1.0:
+        params = params._replace(
+            scaling=params.scaling + jnp.log(jnp.float32(cam.scaling_modifier))
+        )
+    out = rasterize(
+        params.xyz, sf.get_rotation(params), sf.get_scaling(params),
+        sf.get_opacity(params)[:, 0],
+        jnp.asarray(cam.viewmat), jnp.asarray(cam.intrins),
+        cam.height, cam.width,
+        shs=sf.get_features(params), sh_degree=active_sh,
+        bg_color=_bg_color(config), mask=state.alive, config=config.raster,
+    )
+    return np.asarray(out.color)
+
+
 def train(
     state: sf.SurfelState,
     cameras: Sequence[Camera],
@@ -165,9 +188,12 @@ def train(
     scene_extent: float,
     key: Optional[jax.Array] = None,
     log_every: int = 0,
+    viewer=None,
 ) -> tuple:
     """Host training loop (camera sampling + densification cadence).
 
+    ``viewer`` is an optional `utils.network_gui.ViewerServer`, polled once
+    per iteration like `gs/train.py:52-65`.
     Returns (state, adam, history list of metric dicts).
     """
     if key is None:
@@ -178,6 +204,11 @@ def train(
     t0 = time.time()
 
     for it in range(1, config.iterations + 1):
+        if viewer is not None:
+            viewer.poll(
+                lambda cam: render_viewer_frame(state, cam, active_sh, config),
+                training_done=it == config.iterations,
+            )
         if it % config.sh_increase_interval == 0 and active_sh < config.sh_degree:
             active_sh += 1
         key, k_cam, k_den = jax.random.split(key, 3)

@@ -22,6 +22,8 @@ define_flag_once("string", "source_path_", "", "scene directory")
 define_flag_once("string", "model_path_", "out_gs", "output directory")
 define_flag_once("boolean", "extract_mesh", True, "TSDF mesh at the end")
 define_flag_once("integer", "downscale", 1, "image downscale factor")
+define_flag_once("string", "gui_ip", "", "live-viewer host (empty disables)")
+define_flag_once("integer", "gui_port", 6323, "live-viewer port")
 
 
 def load_camera(scene_cam, downscale=1):
@@ -77,9 +79,20 @@ def main(_):
         percent_dense=opts["percent_dense"],
         white_background=opts["white_background"],
     )
-    state, adam, history = train(
-        state, cams, config, scene_extent=scene.extent, log_every=100,
-    )
+    viewer = None
+    if opts.get("gui_ip"):
+        from vidu4d_tpu.utils.network_gui import ViewerServer
+
+        viewer = ViewerServer(opts["gui_ip"], opts["gui_port"],
+                              source_path=opts["source_path_"])
+    try:
+        state, adam, history = train(
+            state, cams, config, scene_extent=scene.extent, log_every=100,
+            viewer=viewer,
+        )
+    finally:
+        if viewer is not None:
+            viewer.close()
     save_ply(os.path.join(out_dir, "point_cloud.ply"),
              jax.tree.map(np.asarray, state.params), np.asarray(state.alive))
     with open(os.path.join(out_dir, "history.json"), "w") as f:
