@@ -172,3 +172,25 @@ def test_preprocess_pipeline_e2e(tmp_path, rng):
         root, "processed", "FlowFW_1", "Full-Resolution", "synth-0000",
         "crop-32.npy")).astype(np.float32)
     assert np.isfinite(fw1).all()
+
+
+def test_filter_frames_motion_gate(rng):
+    """Moving texture keeps frames; a static video is rejected
+    (vcnplus/frame_filter.py:84-102 semantics)."""
+    from vidu4d_tpu.preprocess.pipeline import filter_frames
+
+    t, res = 14, 64
+    tex = rng.uniform(0, 1, size=(res, res, 3)).astype(np.float32)
+    moving = np.stack([np.roll(tex, 4 * i, axis=1) for i in range(t)])
+    keep = filter_frames(moving, flow_threshold=0.01, min_frames=4,
+                         work_res=64)
+    assert keep is not None and keep[0] == 0 and len(keep) > 4
+
+    static = np.stack([tex] * t)
+    assert filter_frames(static, flow_threshold=0.01, min_frames=4,
+                         work_res=64) is None
+
+    # max_frames cap honored
+    capped = filter_frames(moving, flow_threshold=0.01, min_frames=4,
+                           max_frames=6, work_res=64)
+    assert capped is not None and len(capped) == 6

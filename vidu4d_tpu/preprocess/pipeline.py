@@ -63,6 +63,52 @@ def extract_frames(video_path: str, out_dir: str, skip_black: bool = True) -> np
     return np.stack(frames).astype(np.float32) / 255.0
 
 
+def filter_frames(
+    frames: np.ndarray,
+    flow_threshold: float = 0.05,
+    max_frames: int = 500,
+    min_frames: int = 8,
+    work_res: int = 128,
+) -> Optional[np.ndarray]:
+    """Motion-based frame filter (`vcnplus/frame_filter.py:31-103`).
+
+    Greedy anchor scan: keep frame 0, then keep frame j iff the max flow
+    magnitude from the last-kept frame to j — normalized by the working
+    resolution — exceeds ``flow_threshold``; cap at ``max_frames``. Returns
+    the kept indices, or None when fewer than ``min_frames`` survive ("lack
+    of motion" rejection, frame_filter.py:92-102). The reference runs VCN+
+    at ~300x300; we run our pyramidal-LK flow on a ``work_res`` square. The
+    anchor loop is host-side but each pair is one small jitted XLA call.
+    Disabled by default upstream (run_preprocess.py:153) and here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vidu4d_tpu.preprocess.flow import lk_flow
+
+    small = jax.image.resize(
+        jnp.asarray(frames, jnp.float32),
+        (frames.shape[0], work_res, work_res, 3), method="bilinear",
+    )
+
+    @jax.jit
+    def max_norm_flow(i0, i1):
+        f = lk_flow(i0, i1) / jnp.float32(work_res)
+        return jnp.sqrt(jnp.maximum(jnp.sum(f * f, axis=-1), 1e-24)).max()
+
+    keep = [0]
+    anchor = 0
+    for j in range(1, frames.shape[0]):
+        if float(max_norm_flow(small[anchor], small[j])) > flow_threshold:
+            keep.append(j)
+            anchor = j
+        if len(keep) >= max_frames:
+            break
+    if len(keep) <= min_frames:
+        return None
+    return np.asarray(keep, np.int64)
+
+
 def load_frames_dir(img_dir: str) -> np.ndarray:
     import imageio
 
@@ -264,8 +310,9 @@ def write_config(out_root: str, collection_name: str, crop_size: int = 256):
 
 def run_preprocess(out_root: str, collection_name: str, video_paths: List[str],
                    masks_per_video: Optional[List[np.ndarray]] = None,
-                   crop_size: int = 256):
-    """Full multi-video orchestrator (`scripts/run_preprocess.py:122-235`)."""
+                   crop_size: int = 256, use_filter_frames: bool = False):
+    """Full multi-video orchestrator (`scripts/run_preprocess.py:122-235`);
+    ``use_filter_frames`` defaults off like run_preprocess.py:153."""
     for vidid, path in enumerate(video_paths):
         seqname = f"{collection_name}-{vidid:04d}"
         frames_dir = os.path.join(
@@ -273,6 +320,14 @@ def run_preprocess(out_root: str, collection_name: str, video_paths: List[str],
         )
         frames = extract_frames(path, frames_dir)
         masks = masks_per_video[vidid] if masks_per_video else None
+        if use_filter_frames:
+            keep = filter_frames(frames)
+            if keep is None:
+                print(f"lack of motion, ignored: {seqname}")
+                continue
+            frames = frames[keep]
+            if masks is not None:
+                masks = masks[keep]
         preprocess_video(frames, out_root, seqname, masks=masks,
                          crop_size=crop_size)
     write_config(out_root, collection_name, crop_size=crop_size)
