@@ -106,18 +106,41 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
         g_tfin = -g_a + g_bgdot
 
         base0 = (start // CHUNK) * CHUNK
-        num_chunks = pl.cdiv(start + count - base0, CHUNK)
+        # entries past the tile-wide max contributor rank have exactly zero
+        # gradient (ok requires rank < n_contrib) — skip their chunks and
+        # RMW DMAs entirely (the backward mirror of forward.cu:401-406).
+        count_eff = jnp.minimum(
+            count, jnp.ceil(jnp.max(n_contrib)).astype(jnp.int32)
+        )
+        num_chunks = jnp.where(
+            count_eff > 0, pl.cdiv(start + count_eff - base0, CHUNK), 0
+        )
+
+        def chunk_base(ci):
+            c = num_chunks - 1 - ci  # reverse order
+            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
+            return pl.multiple_of(base, CHUNK)
+
+        def props_copy(ci, slot):
+            return pltpu.make_async_copy(
+                props_hbm.at[:, pl.ds(chunk_base(ci), CHUNK)],
+                scratch.at[slot], sem.at[slot],
+            )
+
+        @pl.when(num_chunks > 0)
+        def _():
+            props_copy(0, 0).start()
 
         def body(ci, carry):
             t_after, s_gw = carry  # (px_n, 1) each
-            c = num_chunks - 1 - ci  # reverse order
-            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
-            base = pl.multiple_of(base, CHUNK)
-            copy = pltpu.make_async_copy(
-                props_hbm.at[:, pl.ds(base, CHUNK)], scratch, sem
-            )
-            copy.start()
-            copy.wait()
+            slot = jax.lax.rem(ci, 2)
+            # prefetch the next (earlier) chunk under this chunk's compute
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                props_copy(ci + 1, 1 - slot).start()
+
+            props_copy(ci, slot).wait()
+            base = chunk_base(ci)
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             entry_id = base + lane
@@ -125,7 +148,7 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
             # rank within the tile (0-based); included iff rank < n_contrib
             rank = (entry_id - start).astype(jnp.float32)
 
-            row = lambda i: scratch[i, :][None, :]
+            row = lambda i: scratch[slot, i, :][None, :]
             # recompute the forward response (same math as the fwd kernel)
             kx = pxf * row(_TW) - row(_TU)
             ky = pxf * row(_TW + 1) - row(_TU + 1)
@@ -302,9 +325,9 @@ def backward_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((_F, CHUNK), jnp.float32),
-            pltpu.VMEM((_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _F, CHUNK), jnp.float32),  # double-buffered props
+            pltpu.VMEM((_F, CHUNK), jnp.float32),     # grads RMW buffer
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -92,7 +92,23 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
 
         # chunks start lane-aligned; masks trim [start, start+count)
         base0 = (start // CHUNK) * CHUNK
-        num_chunks = pl.cdiv(start + count - base0, CHUNK)
+        num_chunks = jnp.where(
+            count > 0, pl.cdiv(start + count - base0, CHUNK), 0
+        )
+
+        def chunk_base(c):
+            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
+            return pl.multiple_of(base, CHUNK)
+
+        def chunk_copy(c, slot):
+            return pltpu.make_async_copy(
+                props_hbm.at[:, pl.ds(chunk_base(c), CHUNK)],
+                scratch.at[slot], sem.at[slot],
+            )
+
+        @pl.when(num_chunks > 0)
+        def _():
+            chunk_copy(0, 0).start()
 
         zeros = jnp.zeros((px_n, 1), jnp.float32)
         carry0 = (
@@ -106,23 +122,33 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
             zeros,  # n_contrib (last composited rank + 1)
         )
 
-        def body(c, carry):
+        def cond(state):
+            c, tmax, _ = state
+            # tile-level early-out (forward.cu:401-406 generalized to the
+            # whole tile): once every pixel's T dropped below the stop
+            # threshold, remaining chunks contribute exactly zero.
+            return (c < num_chunks) & (tmax >= common.T_EARLY_STOP)
+
+        def body(state):
+            c, _, carry = state
             (t_c, cr, cg, cb, d_acc, nx, ny, nz,
              dist1, dist2, distort, med_d, med_w, ncon) = carry
 
-            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
-            base = pl.multiple_of(base, CHUNK)
-            copy = pltpu.make_async_copy(
-                props_hbm.at[:, pl.ds(base, CHUNK)], scratch, sem
-            )
-            copy.start()
-            copy.wait()
+            slot = jax.lax.rem(c, 2)
+            # prefetch the next chunk into the other buffer; its DMA rides
+            # under this chunk's compute (double buffering)
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                chunk_copy(c + 1, 1 - slot).start()
+
+            chunk_copy(c, slot).wait()
+            base = chunk_base(c)
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             entry_id = base + lane
             valid_k = (entry_id >= start) & (entry_id < start + count)
 
-            row = lambda i: scratch[i, :][None, :]  # (1, CHUNK)
+            row = lambda i: scratch[slot, i, :][None, :]  # (1, CHUNK)
             # two-plane intersection (forward.cu:359-372); (px_n, CHUNK)
             kx = pxf * row(_TW) - row(_TU)
             ky = pxf * row(_TW + 1) - row(_TU + 1)
@@ -210,13 +236,15 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
                 ncon,
                 jnp.max(jnp.where(w > 0, rank1, 0.0), axis=1, keepdims=True),
             )
-            return (t_c2, cr2, cg2, cb2, d2_, nx2, ny2, nz2,
-                    dist1_2, dist2_2, distort2, med_d2, med_w2, ncon2)
+            carry2 = (t_c2, cr2, cg2, cb2, d2_, nx2, ny2, nz2,
+                      dist1_2, dist2_2, distort2, med_d2, med_w2, ncon2)
+            return (c + 1, jnp.max(t_c2), carry2)
 
-        (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-         dist1, dist2, distort, med_d, med_w, ncon) = jax.lax.fori_loop(
-            0, num_chunks, body, carry0
+        _, _, carry_out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(1.0), carry0)
         )
+        (t_c, cr, cg, cb, d_acc, nx, ny, nz,
+         dist1, dist2, distort, med_d, med_w, ncon) = carry_out
 
         color_ref[0, :, 0] = (cr + t_c * bg_ref[0, 0])[:, 0]
         color_ref[0, :, 1] = (cg + t_c * bg_ref[0, 1])[:, 0]
@@ -281,8 +309,8 @@ def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _F, CHUNK), jnp.float32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
