@@ -55,6 +55,7 @@ def test_pallas_backward_matches_autodiff_interpret():
             return (
                 jnp.mean(out.color ** 2) + 0.3 * jnp.mean(out.depth)
                 + 0.2 * jnp.mean(out.alpha) + 0.1 * jnp.mean(out.normal)
+                + 0.5 * jnp.mean(out.distortion)
             )
         return loss
 

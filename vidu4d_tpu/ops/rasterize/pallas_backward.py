@@ -1,9 +1,11 @@
 """Pallas backward kernel for the tiled surfel rasterizer.
 
-Implements the analytic backward of per-tile alpha compositing for the
-cotangents used in training (color, expected depth, alpha, normal — the
-distortion/median auxiliaries default to zero loss weight in the reference,
-`lambda_dist=0`, and median depth is never supervised). Semantics mirror
+Implements the analytic backward of per-tile alpha compositing for every
+cotangent used in training: color, expected depth, alpha, normal, and
+distortion (whose pairwise form needs only the forward's total S1/S2/A
+accumulators — see the kernel comment). Median depth/weight are the only
+outputs without gradients; they are never supervised (depth_ratio=0,
+gs/arguments/__init__.py:68). Semantics mirror
 `backward.cu:144-449`: a back-to-front traversal reconstructing the
 transmittance chain by division, with suffix accumulators replacing atomics.
 
@@ -99,8 +101,17 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
         g_a = cot_ref[0, :, 4][:, None]  # alpha output
         g_n = [cot_ref[0, :, 5 + i][:, None] for i in range(3)]
         g_bgdot = cot_ref[0, :, 8][:, None]  # sum_c gC_c * bg_c
+        g_dist = cot_ref[0, :, 9][:, None]  # distortion cotangent
         t_fin = resid_ref[0, :, 0][:, None]
         n_contrib = resid_ref[0, :, 1][:, None]  # float count
+        s1_tot = resid_ref[0, :, 2][:, None]  # sum w·m over the pixel
+        s2_tot = resid_ref[0, :, 3][:, None]  # sum w·m²
+        # distortion is pairwise: D = sum_{i>j} w_i w_j (m_i - m_j)^2
+        # (the streaming form of forward.cu:410-436 telescopes to this), so
+        # dD/dw_k = m_k² A + S2 - 2 m_k S1 and dD/dm_k = 2 w_k (m_k A - S1)
+        # with the TOTAL accumulators A = 1 - T_fin, S1, S2 — no suffix
+        # scan needed (self-terms vanish).
+        a_tot = 1.0 - t_fin
 
         # d L / d T_fin: alpha output = 1 - T_fin, color += T_fin * bg
         g_tfin = -g_a + g_bgdot
@@ -191,13 +202,20 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
             t_before = t_after / sp_incl  # (px_n, CHUNK); om>=0.01 when ok
             w = alpha * t_before
 
-            # Gw: cotangent wrt w_i (color/depth/normal terms)
+            # NDC-mapped depth for the distortion loss (forward.cu:410-416)
+            depth_pos = jnp.maximum(depth, 1e-6)
+            m = (common.FAR_PLANE * depth_pos
+                 - common.FAR_PLANE * common.NEAR_PLANE) / (
+                (common.FAR_PLANE - common.NEAR_PLANE) * depth_pos)
+
+            # Gw: cotangent wrt w_i (color/depth/normal/distortion terms)
             gw = (
                 row(_RGB) * g_c[0] + row(_RGB + 1) * g_c[1]
                 + row(_RGB + 2) * g_c[2]
                 + depth * g_d
                 + row(_NRM) * g_n[0] + row(_NRM + 1) * g_n[1]
                 + row(_NRM + 2) * g_n[2]
+                + g_dist * (m * m * a_tot + s2_tot - 2.0 * m * s1_tot)
             )
 
             # suffix over j > i of Gw_j w_j (within chunk + carry)
@@ -212,8 +230,18 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
             g_opac = g_alpha * exp_term
             g_rho = g_alpha * row(_OPAC) * exp_term * (-0.5)
 
-            # depth cotangent per entry
-            g_depth = jnp.where(ok, w * g_d, 0.0)
+            # depth cotangent per entry: expected-depth term + distortion's
+            # m-chain (dm/dd = far·near / ((far-near) d²), gated at the
+            # d <= 1e-6 clamp)
+            g_m = g_dist * 2.0 * w * (m * a_tot - s1_tot)
+            dmdd = jnp.where(
+                depth > 1e-6,
+                (common.FAR_PLANE * common.NEAR_PLANE)
+                / ((common.FAR_PLANE - common.NEAR_PLANE)
+                   * depth_pos * depth_pos),
+                0.0,
+            )
+            g_depth = jnp.where(ok, w * g_d + g_m * dmdd, 0.0)
 
             # rho3d branch: rho3d = sx^2 + sy^2 ; depth3d = sx twx + sy twy + twz
             g_sx = jnp.where(use3d, 2.0 * sx * g_rho + row(_TW) * g_depth, 0.0)
@@ -298,8 +326,8 @@ def backward_pallas(
     slab: jax.Array,  # (32, E) transposed prop slab (forward layout)
     tile_start: jax.Array,
     tile_count: jax.Array,
-    cot: jax.Array,  # (num_tiles, px_n, 9): gC(3) gD gA gN(3) gBGdot
-    resid: jax.Array,  # (num_tiles, px_n, 2): T_fin, n_contrib
+    cot: jax.Array,  # (num_tiles, px_n, 10): gC(3) gD gA gN(3) gBGdot gDist
+    resid: jax.Array,  # (num_tiles, px_n, 4): T_fin, n_contrib, S1, S2
     height: int,
     width: int,
     tile: int = 16,
@@ -317,9 +345,9 @@ def backward_pallas(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # props slab
-            pl.BlockSpec((1, px_n, 9), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, px_n, 10), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px_n, 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, px_n, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # zero-init grads (aliased)
         ],
@@ -368,19 +396,19 @@ def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool):
             slab, tile_start, tile_count, bg, tiles_x, tiles_y, tile,
             interpret=interpret,
         )
-        resid = aux[..., 8:10]  # t_fin, n_contrib
+        resid = aux[..., 8:12]  # t_fin, n_contrib, S1, S2
         return (color, aux[..., :8]), (slab, tile_start, tile_count, bg, resid)
 
     def bwd(res, cots):
         slab, tile_start, tile_count, bg, resid = res
         g_color, g_aux = cots
-        # supported cotangents: color, depth(0), alpha(1), normal(2:5).
-        # distortion/median cotangents are dropped (zero loss weight in the
-        # reference defaults; use the XLA path when lambda_dist > 0).
+        # supported cotangents: color, depth(0), alpha(1), normal(2:5),
+        # distortion(6). median depth/weight cotangents are dropped (never
+        # supervised: depth_ratio=0 in the reference, arguments/__init__.py:68).
         g_bgdot = jnp.einsum("tpc,c->tp", g_color, bg)[..., None]
         cot = jnp.concatenate(
             [g_color, g_aux[..., 0:1], g_aux[..., 1:2], g_aux[..., 2:5],
-             g_bgdot], axis=-1,
+             g_bgdot, g_aux[..., 6:7]], axis=-1,
         )
         height = tiles_y * tile
         width = tiles_x * tile
@@ -443,7 +471,7 @@ def rasterize_pallas_grad(
         alpha=aux[..., 1],
         normal=aux[..., 2:5],
         median_depth=jax.lax.stop_gradient(aux[..., 5]),
-        distortion=jax.lax.stop_gradient(aux[..., 6]),
+        distortion=aux[..., 6],
         median_weight=jax.lax.stop_gradient(aux[..., 7]),
         final_t=1.0 - aux[..., 1],
     )

@@ -259,6 +259,8 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int):
         aux_ref[0, :, 7] = med_w[:, 0]
         aux_ref[0, :, 8] = t_c[:, 0]
         aux_ref[0, :, 9] = ncon[:, 0]
+        aux_ref[0, :, 10] = dist1[:, 0]  # S1 = sum w·m (bwd residual)
+        aux_ref[0, :, 11] = dist2[:, 0]  # S2 = sum w·m²
 
     return kernel
 
@@ -290,7 +292,7 @@ def pack_props(proj: common.SplatProjection, colors, opacities,
 def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
                          tiles_x: int, tiles_y: int, tile: int,
                          interpret: bool = False):
-    """Tile-space forward: returns (color (T,px,3), aux (T,px,10))."""
+    """Tile-space forward: returns (color (T,px,3), aux (T,px,12))."""
     num_tiles = tiles_x * tiles_y
     px_n = tile * tile
     n_entries = slab.shape[1]
@@ -305,7 +307,7 @@ def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
         out_specs=(
             pl.BlockSpec((1, px_n, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, px_n, 10), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, px_n, 12), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -318,7 +320,7 @@ def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, px_n, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, px_n, 10), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, px_n, 12), jnp.float32),
         ),
         interpret=interpret,
     )(tile_start, tile_count, slab, bg_color[None, :3])
