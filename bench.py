@@ -44,7 +44,8 @@ def run_bench(args):
         frame_info, n_frames=args.frames, n_surfels=args.surfels, res=args.res
     )
     raster_cfg = RasterizeConfig(
-        tile=16, span_cap=4, budget=args.budget, tile_chunk=8
+        tile=16, span_cap=4, budget=args.budget, tile_chunk=8,
+        impl=args.impl,
     )
     step = build_stage3_train_step(deformer, args.res, raster_cfg)
     gs_adam = gs_adam_init(surfels.params)
@@ -84,6 +85,9 @@ def main():
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--budget", type=int, default=1024)
+    ap.add_argument("--impl", default="tiles",
+                    choices=["tiles", "naive", "pallas", "pallas_grad"],
+                    help="rasterizer backend to benchmark")
     ap.add_argument("--quick", action="store_true", help="tiny shapes, smoke only")
     args = ap.parse_args()
 

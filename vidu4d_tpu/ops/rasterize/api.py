@@ -108,6 +108,15 @@ def rasterize(
             tile=config.tile, span_cap=config.span_cap,
             interpret=(config.impl == "pallas_interpret"),
         )
+    if config.impl == "pallas_grad":
+        from vidu4d_tpu.ops.rasterize.pallas_backward import (
+            rasterize_pallas_grad,
+        )
+
+        return rasterize_pallas_grad(
+            proj, colors, opacities, bg_color, height, width,
+            tile=config.tile, span_cap=config.span_cap,
+        )
     raise ValueError(f"unknown rasterizer impl {config.impl!r}")
 
 
