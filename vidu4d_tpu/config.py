@@ -126,6 +126,14 @@ class GaussianConfig:
     # surfel store capacity (TPU fixed-capacity store; not in reference)
     flags.DEFINE_integer("gs_capacity", 400000, "max live surfels")
 
+    # rasterizer backend knobs (TPU-specific; not in reference)
+    flags.DEFINE_integer("raster_tile", 16, "raster tile size")
+    flags.DEFINE_integer("raster_span_cap", 4, "per-splat tile-span cap")
+    flags.DEFINE_integer("raster_budget", 1024, "XLA-tiles entry budget")
+    flags.DEFINE_integer("raster_tile_chunk", 8, "tiles per lax.map step")
+    flags.DEFINE_string("raster_impl", "tiles",
+                        "tiles | naive | pallas_grad (fused TPU kernels)")
+
 
 def define_flag_once(kind: str, name: str, default, help_str: str):
     """Define a flag unless it already exists (render/export/reanimate share

@@ -184,6 +184,7 @@ class Stage3Trainer:
             span_cap=opts.get("raster_span_cap", 4),
             budget=opts.get("raster_budget", 1024),
             tile_chunk=opts.get("raster_tile_chunk", 8),
+            impl=opts.get("raster_impl", "tiles"),
         )
         self._train_step = self._build_train_step()
 
