@@ -20,7 +20,7 @@ import numpy as np
 
 
 def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
-    """Render a rotating, breathing surfel blob: returns frames, masks."""
+    """Render a rotating, breathing surfel blob: frames, masks, GT depth."""
     import jax
     import jax.numpy as jnp
 
@@ -37,13 +37,15 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
     state = sf.init_from_points(jnp.asarray(pts), jnp.asarray(cols),
                                 capacity=n_splats, sh_degree=0)
     params = state.params._replace(
-        opacity=jnp.full_like(state.params.opacity, 2.2),  # sigmoid ~0.9
+        # near-opaque: optical flow (and hence camera registration) is only
+        # well-posed on an opaque surface, not a semi-transparent cloud
+        opacity=jnp.full_like(state.params.opacity, 4.0),  # sigmoid ~0.98
         scaling=jnp.full_like(state.params.scaling, np.log(0.02)),
     )
     cfg = RasterizeConfig(budget=512, tile_chunk=4)
     intrins = jnp.asarray([1.2 * res, 1.2 * res, res / 2, res / 2])
 
-    frames, masks = [], []
+    frames, masks, depths = [], [], []
     for t in range(n_frames):
         ang = 0.08 * t
         breathe = 1.0 + 0.1 * np.sin(0.5 * t)
@@ -64,7 +66,12 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
         )
         frames.append(np.asarray(out.color))
         masks.append(np.asarray(out.alpha) > 0.3)
-    return np.stack(frames), np.stack(masks).astype(np.float32)
+        # alpha-normalized expected depth = the GT depth prior (the ZoeDepth
+        # slot; flow-parallax depth is invalid under pure object rotation)
+        a = np.asarray(out.alpha)
+        depths.append(np.asarray(out.depth) / np.maximum(a, 1e-6) * (a > 0.3))
+    return (np.stack(frames), np.stack(masks).astype(np.float32),
+            np.stack(depths))
 
 
 def main():
@@ -83,7 +90,7 @@ def main():
     t_all = time.time()
 
     # ---- ground-truth video -------------------------------------------
-    frames, masks = make_gt_video(args.res, args.frames)
+    frames, masks, gt_depth = make_gt_video(args.res, args.frames)
     print(f"[gt] frames {frames.shape} coverage {masks.mean():.2f}", flush=True)
 
     # ---- stage 1 --------------------------------------------------------
@@ -93,7 +100,7 @@ def main():
     db = os.path.join(args.out, "database")
     preprocess_video(frames, db, "synth-0000", masks=masks,
                      crop_size=args.res, delta_list=(1, 2, 4, 8),
-                     tsdf_grid=64)
+                     tsdf_grid=64, depths=gt_depth)
     write_config(db, "synth", crop_size=args.res)
     metrics["stage1_s"] = round(time.time() - t0, 1)
     print(f"[stage1] {metrics['stage1_s']}s", flush=True)

@@ -135,8 +135,15 @@ def preprocess_video(
     canonical_cams: Optional[Dict[int, np.ndarray]] = None,
     tsdf_grid: int = 96,
     depth_backend: str = "flow_parallax",
+    depths: Optional[np.ndarray] = None,  # (T, H, W) external depth priors
 ) -> Dict[str, str]:
-    """Run the full Stage-1 pipeline for one video. Returns written paths."""
+    """Run the full Stage-1 pipeline for one video. Returns written paths.
+
+    ``depths``: raw-resolution metric depth priors (the ZoeDepth slot,
+    `preprocess/scripts/depth.py:37-58` — the reference always consumes a
+    depth network's output; pass sensor/renderer/model depth here). When
+    None, falls back to ``depth_backend`` (flow-parallax — valid only under
+    camera translation)."""
     t, hr, wr = frames.shape[:3]
     written = {}
 
@@ -211,7 +218,15 @@ def preprocess_video(
         )
 
     # ---- depth ---------------------------------------------------------
-    depth = estimate_depth(rgb_crop, backend=depth_backend)  # (T, H, W)
+    if depths is not None:
+        depth = np.asarray(
+            jax.vmap(
+                lambda d, c2r: pops.crop_resample(d[..., None], c2r,
+                                                  crop_size)[..., 0]
+            )(jnp.asarray(depths, jnp.float32), jnp.asarray(crop2raw))
+        )
+    else:
+        depth = estimate_depth(rgb_crop, backend=depth_backend)  # (T, H, W)
     np.save(os.path.join(subdir("Depth"), f"{prefix}.npy"), depth)
 
     # ---- features ------------------------------------------------------
