@@ -59,3 +59,30 @@ def test_stage2_trainer_smoke(tmp_path):
     # reload round-trips
     payload = trainer.load_checkpoint(ckpt, reset_steps=False)
     assert payload["current_round"] == 2
+
+
+def test_grad_spike_rollback_logic():
+    """check_grad rollback semantics (trainer.py:862-884) without a full
+    trainer: cache queue shifts per round; spike restores two-rounds-ago."""
+    from types import SimpleNamespace
+
+    from vidu4d_tpu.engine.trainer import Stage2Trainer
+
+    fake = SimpleNamespace(
+        opts={"grad_spike_thresh": 5.0},
+        _rollback_cache=[None, None],
+        params="p0", opt_state="o0",
+    )
+    up = Stage2Trainer._update_rollback_cache
+    mb = Stage2Trainer._maybe_rollback
+
+    # no cache yet -> no rollback even on spike
+    assert mb(fake, 100.0) is False
+    up(fake)                      # cache = [None, (p0, o0)]
+    assert mb(fake, 100.0) is False
+    fake.params, fake.opt_state = "p1", "o1"
+    up(fake)                      # cache = [(p0,o0), (p1,o1)]
+    assert mb(fake, 4.9) is False  # below threshold
+    assert fake.params == "p1"
+    assert mb(fake, 50.0) is True  # spike -> restore two rounds ago
+    assert (fake.params, fake.opt_state) == ("p0", "o0")

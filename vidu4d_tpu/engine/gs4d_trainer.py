@@ -179,6 +179,7 @@ class Stage3Trainer:
 
         self.current_steps = 0
         self.current_round = 0
+        self._rollback_cache = [None, None]
         self.raster_cfg = RasterizeConfig(
             tile=opts.get("raster_tile", 16),
             span_cap=opts.get("raster_span_cap", 4),
@@ -429,16 +430,37 @@ class Stage3Trainer:
                 dparams = optax.apply_updates(dparams, updates)
 
             metrics = {"total": total, **loss_dict,
-                       "alive": surfels.num_alive()}
+                       "alive": surfels.num_alive(),
+                       "gnorm": optax.global_norm((dgrads, sgrads))}
             return dparams, surfels, gs_adam, warp_opt_state, metrics
 
         return step
 
     # ------------------------------------------------------------------
 
+    def _update_rollback_cache(self):
+        """Two-deep per-round snapshot (`trainer.py:134-137,343-353`)."""
+        self._rollback_cache[0] = self._rollback_cache[1]
+        self._rollback_cache[1] = (
+            self.params, self.surfels, self.gs_adam, self.warp_opt_state
+        )
+
+    def _maybe_rollback(self, gnorm) -> bool:
+        """Gradient-spike rollback to the model from two rounds ago
+        (`trainer.py:862-884` check_grad; opt-in via
+        rollback_on_grad_spike like Stage2Trainer)."""
+        thresh = self.opts.get("grad_spike_thresh", 5.0)
+        if float(gnorm) <= thresh or self._rollback_cache[0] is None:
+            return False
+        print(f"large grad: {float(gnorm):.2f}, resume from cached weights")
+        (self.params, self.surfels, self.gs_adam,
+         self.warp_opt_state) = self._rollback_cache[0]
+        return True
+
     def train_one_round(self, log_fn=None):
         opts = self.opts
         cfg = self._loss_config()
+        rollback = opts.get("rollback_on_grad_spike", False)
         for _ in range(opts.get("iters_per_round", 200)):
             weights = progress_schedule({**cfg, "reg_eikonal_wt": 0.0}, self.current_steps)
             weights["lambda_normal"] = (
@@ -456,6 +478,8 @@ class Stage3Trainer:
                     use_2dgs_reg=use_2dgs_reg,
                 )
             )
+            if rollback and self._maybe_rollback(metrics["gnorm"]):
+                continue
             self.current_steps += 1
             self._densify_hooks()
             if log_fn is not None and self.current_steps % 100 == 0:
@@ -506,6 +530,7 @@ class Stage3Trainer:
             log_fn = logger.log_loss_dict
         profile = self.opts.get("profile", False)
         for rnd in range(self.current_round, self.opts.get("num_rounds", 60)):
+            self._update_rollback_cache()
             t0 = time.time()
             # per-round eval render to tensorboard (`trainer.py:319-323,767-794`)
             try:

@@ -64,6 +64,7 @@ class Stage2Trainer:
 
         self.current_steps = 0
         self.current_round = 0
+        self._rollback_cache = [None, None]
         self.total_steps = opts["num_rounds"] * opts["iters_per_round"]
 
         # per-frame intrinsics prior (already per raw frame)
@@ -340,22 +341,44 @@ class Stage2Trainer:
             (total, loss_dict), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
+            gnorm = optax.global_norm(grads)  # pre-clip (trainer.py:874)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, total, loss_dict
+            return params, opt_state, total, loss_dict, gnorm
 
         return step
+
+    def _update_rollback_cache(self):
+        """Two-deep per-round snapshot queue (`trainer.py:134-137,343-353`);
+        jax arrays are immutable so holding references is a deep copy."""
+        self._rollback_cache[0] = self._rollback_cache[1]
+        self._rollback_cache[1] = (self.params, self.opt_state)
+
+    def _maybe_rollback(self, gnorm) -> bool:
+        """Rollback to the model from two rounds ago on a gradient spike
+        (`trainer.py:862-884` check_grad — disabled upstream via `and False`,
+        opt-in here with `rollback_on_grad_spike`)."""
+        thresh = self.opts.get("grad_spike_thresh", 5.0)
+        if float(gnorm) <= thresh or self._rollback_cache[0] is None:
+            return False
+        print(f"large grad: {float(gnorm):.2f}, resume from cached weights")
+        self.params, self.opt_state = self._rollback_cache[0]
+        return True
 
     def train_one_round(self, log_fn=None):
         opts = self.opts
         cfg = self._loss_config()
+        rollback = opts.get("rollback_on_grad_spike", False)
         for _ in range(opts["iters_per_round"]):
             weights = progress_schedule(cfg, self.current_steps)
             batch = self._example_batch()
             rng = jax.random.PRNGKey(self.current_steps)
-            self.params, self.opt_state, total, loss_dict = self._train_step(
+            params, opt_state, total, loss_dict, gnorm = self._train_step(
                 self.params, self.opt_state, self.states, batch, weights, rng
             )
+            self.params, self.opt_state = params, opt_state
+            if rollback and self._maybe_rollback(gnorm):
+                continue
             self.current_steps += 1
             if log_fn is not None and self.current_steps % 100 == 0:
                 log_fn(self.current_steps, float(total),
@@ -372,6 +395,7 @@ class Stage2Trainer:
         profile = self.opts.get("profile", False)
         for rnd in range(self.current_round, self.opts["num_rounds"]):
             t0 = time.time()
+            self._update_rollback_cache()
             self.update_geometry_aux()
             self.export_geometry(rnd)
             with round_trace(self.save_dir, rnd, enabled=profile):
