@@ -194,3 +194,25 @@ def test_filter_frames_motion_gate(rng):
     capped = filter_frames(moving, flow_threshold=0.01, min_frames=4,
                            max_frames=6, work_res=64)
     assert capped is not None and len(capped) == 6
+
+
+def test_two_frame_registration_np_matches_jax(rng):
+    """Host-f64 Kabsch == the JAX path on CPU (the pipeline uses the numpy
+    variant because TPU bf16 matmuls flatten small rotations)."""
+    from vidu4d_tpu.preprocess.registration import (
+        two_frame_registration,
+        two_frame_registration_np,
+    )
+
+    h = w = 32
+    depth0 = 0.5 + 0.05 * rng.random((h, w)).astype(np.float32)
+    depth1 = depth0 + 0.01
+    flow = rng.normal(0, 0.5, size=(h, w, 2)).astype(np.float32)
+    kinv = np.linalg.inv(np.array([[40., 0, 16], [0, 40., 16], [0, 0, 1]],
+                                  np.float32))
+    mask = (rng.random((h, w)) > 0.3).astype(np.float32)
+    rt_j = np.asarray(two_frame_registration(
+        jnp.asarray(depth0), jnp.asarray(depth1), jnp.asarray(flow),
+        jnp.asarray(kinv), jnp.asarray(kinv), jnp.asarray(mask)))
+    rt_n = two_frame_registration_np(depth0, depth1, flow, kinv, kinv, mask)
+    np.testing.assert_allclose(rt_n, rt_j, atol=2e-4)

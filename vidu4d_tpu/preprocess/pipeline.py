@@ -37,7 +37,10 @@ from vidu4d_tpu.preprocess.canonical import canonical_registration
 from vidu4d_tpu.preprocess.depth import estimate_depth
 from vidu4d_tpu.preprocess.features import extract_video_features
 from vidu4d_tpu.preprocess.flow import compute_flow_pairs, occlusion_from_cycle
-from vidu4d_tpu.preprocess.registration import chain_poses, two_frame_registration
+from vidu4d_tpu.preprocess.registration import (
+    chain_poses,
+    two_frame_registration_np,
+)
 from vidu4d_tpu.preprocess.tsdf import (
     fuse_tsdf,
     recenter_mesh_and_cams,
@@ -249,15 +252,13 @@ def preprocess_video(
         for i in range(t - 1):
             m = mask_crop[i] if comp_id == 1 else (1 - mask_crop[i])
             m = m * (fw1[i, ..., 2] < 0.5)  # drop occluded
-            rt = two_frame_registration(
-                jnp.asarray(depth[i], jnp.float32),
-                jnp.asarray(depth[i + 1], jnp.float32),
-                jnp.asarray(fw1[i, ..., :2]),
-                jnp.asarray(kinv_crop[i]),
-                jnp.asarray(kinv_crop[i + 1]),
-                jnp.asarray(m),
+            # host f64 Kabsch: the TPU's bf16 matmul default destroys the
+            # small covariance asymmetry that encodes the rotation
+            rt = two_frame_registration_np(
+                depth[i], depth[i + 1], fw1[i, ..., :2],
+                kinv_crop[i], kinv_crop[i + 1], m,
             )
-            pair_mats.append(np.asarray(rt))
+            pair_mats.append(rt)
         cams = np.asarray(chain_poses(jnp.asarray(np.stack(pair_mats))))
         np.save(os.path.join(cam_dir, f"{comp_name}.npy"), cams.astype(np.float32))
 

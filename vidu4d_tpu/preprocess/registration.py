@@ -27,7 +27,12 @@ def weighted_procrustes(pts0: jax.Array, pts1: jax.Array,
     m1 = jnp.sum(pts1 * w[:, None], axis=0)
     c0 = pts0 - m0
     c1 = pts1 - m1
-    h = (c0 * w[:, None]).T @ c1
+    # HIGHEST: the TPU MXU's default bf16 passes flatten the small
+    # antisymmetric part of H that encodes the rotation (measured: ~0 deg
+    # estimates on TPU vs correct ones on CPU for a 4.6 deg GT motion)
+    h = jnp.matmul(
+        (c0 * w[:, None]).T, c1, precision=jax.lax.Precision.HIGHEST
+    )
     u, _, vt = jnp.linalg.svd(h)
     det = jnp.linalg.det(vt.T @ u.T)
     d = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
@@ -105,3 +110,44 @@ def chain_poses(pairwise: jax.Array) -> jax.Array:
     eye = jnp.broadcast_to(jnp.eye(4), pairwise.shape)
     chained = jax.lax.associative_scan(compose, pairwise)
     return jnp.concatenate([eye[:1], chained], axis=0)
+
+
+def two_frame_registration_np(depth0, depth1, flow, kinv0, kinv1, mask):
+    """Host float64 variant for the Stage-1 pair loop.
+
+    The pair loop is host-side (one small SVD per pair, like the reference's
+    CPU Procrustes `geometry.py:52-76`); doing the lift + Kabsch in numpy
+    f64 sidesteps TPU matmul-precision pitfalls entirely.
+    """
+    import numpy as np
+
+    depth0 = np.asarray(depth0, np.float64)
+    depth1 = np.asarray(depth1, np.float64)
+    flow = np.asarray(flow, np.float64)
+    mask = np.asarray(mask, np.float64)
+    h, w = depth0.shape
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64), indexing="xy")
+    hp0 = np.stack([gx, gy, np.ones_like(gx)], -1).reshape(-1, 3)
+    hp1 = np.stack([gx + flow[..., 0], gy + flow[..., 1],
+                    np.ones_like(gx)], -1).reshape(-1, 3)
+    d1w = np.asarray(
+        warp_by_flow(jnp.asarray(depth1[..., None], jnp.float32),
+                     jnp.asarray(flow, jnp.float32))
+    )[..., 0].reshape(-1).astype(np.float64)
+    pts0 = (hp0 @ np.asarray(kinv0, np.float64).T) * depth0.reshape(-1, 1)
+    pts1 = (hp1 @ np.asarray(kinv1, np.float64).T) * d1w[:, None]
+    weights = mask.reshape(-1) * (d1w > 0)
+
+    wn = weights / max(weights.sum(), 1e-8)
+    m0 = (pts0 * wn[:, None]).sum(0)
+    m1 = (pts1 * wn[:, None]).sum(0)
+    hmat = ((pts0 - m0) * wn[:, None]).T @ (pts1 - m1)
+    u, _, vt = np.linalg.svd(hmat)
+    d = np.diag([1.0, 1.0, np.linalg.det(vt.T @ u.T)])
+    r = vt.T @ d @ u.T
+    t = m1 - r @ m0
+    rt = np.eye(4)
+    rt[:3, :3] = r
+    rt[:3, 3] = t
+    return rt.astype(np.float32)
