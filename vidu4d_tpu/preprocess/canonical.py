@@ -51,13 +51,16 @@ def canonical_registration(
     params = init_camera_base_params(params, cams_anno, frame_info)
 
     def loss_fn(params, unary_wt, pairwise_wt):
+        # f32 rotation products: TPU bf16 matmul noise (~0.4%/entry) is the
+        # same order as the small relative-rotation residuals being optimized
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
         quat, trans = model.apply(params, jnp.arange(t))
         pred = quaternion_translation_to_se3(quat, trans)
         loss_unary = rot_angle(
-            pred[anno_idx, :3, :3] @ jnp.swapaxes(anno[anno_idx, :3, :3], -1, -2)
+            mm(pred[anno_idx, :3, :3], jnp.swapaxes(anno[anno_idx, :3, :3], -1, -2))
         ).mean()
-        rel = pred[1:, :3, :3] @ jnp.swapaxes(pred[:-1, :3, :3], -1, -2)
-        loss_pair = rot_angle(rel @ jnp.swapaxes(rel_gt, -1, -2)).mean()
+        rel = mm(pred[1:, :3, :3], jnp.swapaxes(pred[:-1, :3, :3], -1, -2))
+        loss_pair = rot_angle(mm(rel, jnp.swapaxes(rel_gt, -1, -2))).mean()
         return unary_wt * loss_unary + pairwise_wt * loss_pair
 
     opt = optax.adam(lr)

@@ -105,7 +105,10 @@ def chain_poses(pairwise: jax.Array) -> jax.Array:
     (`camera_registration.py:43-79`): cams = [I, R01, R12 R01, ...],
     as an associative scan (log-depth on device)."""
     def compose(a, b):
-        return jnp.einsum("...ij,...jk->...ik", b, a)
+        # HIGHEST: bf16 composition drifts over long chains (see
+        # weighted_procrustes note)
+        return jnp.einsum("...ij,...jk->...ik", b, a,
+                          precision=jax.lax.Precision.HIGHEST)
 
     eye = jnp.broadcast_to(jnp.eye(4), pairwise.shape)
     chained = jax.lax.associative_scan(compose, pairwise)
