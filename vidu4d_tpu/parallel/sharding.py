@@ -191,3 +191,103 @@ def build_stage3_train_step(
         return jax.jit(step)
     with mesh:
         return jax.jit(step)
+
+
+def make_synthetic_stage2_inputs(n_frames: int = 8, n_pixels: int = 12,
+                                 m: int = 4, res: int = 32, seed: int = 0):
+    """Tiny DvrModel + pixel-ray batch for multi-chip dryruns of Stage 2."""
+    from vidu4d_tpu.engine.model import DvrModel
+    from vidu4d_tpu.engine.schedules import progress_schedule
+    from vidu4d_tpu.models.fields.dyn_nerf import FieldState
+
+    rng = np.random.default_rng(seed)
+    fi = FrameInfo.single_video(n_frames)
+    intr = np.tile(np.array([[40.0, 40.0, res / 2, res / 2]], np.float32),
+                   (n_frames, 1))
+    rt = np.tile(np.eye(4, dtype=np.float32), (n_frames, 1, 1))
+    rt[:, 2, 3] = 3.0
+    config = {
+        "field_type": "fg", "fg_motion": "bob", "train_res": res,
+        "mask_wt": 0.1, "rgb_wt": 0.1, "depth_wt": 1e-4, "flow_wt": 0.5,
+        "vis_wt": 1e-2, "feature_wt": 1e-2, "feat_reproj_wt": 5e-2,
+        "reg_visibility_wt": 1e-4, "reg_eikonal_wt": 1e-3,
+        "reg_deform_cyc_wt": 0.01, "reg_delta_skin_wt": 5e-3,
+        "reg_skin_entropy_wt": 5e-4, "reg_gauss_skin_wt": 1e-3,
+        "reg_cam_prior_wt": 0.1, "reg_skel_prior_wt": 0.1,
+        "reg_gauss_mask_wt": 0.01, "reg_soft_deform_wt": 100.0,
+        "lambda_normal": 0.05, "lambda_dist": 0.0,
+    }
+    model = DvrModel(
+        frame_info=fi, fg_motion="bob",
+        intrinsics_prior=tuple(map(tuple, intr)),
+        rtmat_prior=tuple(map(tuple, rt.reshape(n_frames, -1))),
+        train_res=res, train_depth_samples=8, field_depth=2, field_width=32,
+    )
+    n = n_pixels
+    batch = {
+        "rgb": rng.uniform(size=(m, n, 3)).astype(np.float32),
+        "mask": (rng.uniform(size=(m, n, 1)) > 0.4).astype(np.float32),
+        "depth": rng.uniform(1, 3, size=(m, n, 1)).astype(np.float32),
+        "flow": rng.normal(size=(m, n, 2)).astype(np.float32),
+        "flow_uct": rng.uniform(size=(m, n, 1)).astype(np.float32),
+        "vis2d": np.ones((m, n, 1), np.float32),
+        "crop2raw": np.tile([1.0, 1.0, 0.0, 0.0], (m, 1)).astype(np.float32),
+        "dataid": np.zeros((m,), np.int32),
+        "frameid_sub": (np.arange(m) % n_frames).astype(np.int32),
+        "frameid": (np.arange(m) % n_frames).astype(np.int32),
+        "is_detected": np.ones((m,), np.float32),
+        "hxy": np.concatenate(
+            [rng.uniform(0, res, (m, n, 2)), np.ones((m, n, 1))], axis=-1
+        ).astype(np.float32),
+        "feature": rng.normal(size=(m, n, 16)).astype(np.float32),
+    }
+    states = {"fg": FieldState.initial(fi.num_frames_raw)}
+    weights = progress_schedule(config, 100)
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        states, config, weights, jax.random.PRNGKey(1), method=model.loss,
+    )
+    return model, params, states, batch, config, weights
+
+
+def build_stage2_train_step(model, states, config, weights,
+                            mesh: Optional[Mesh] = None, lr: float = 1e-3):
+    """Jitted Stage-2 step (loss -> grads -> adam), optionally data-parallel.
+
+    Pixel-ray batches shard their leading frame axis over ``data``
+    (the DDP axis, `train.py:28-36`); parameters stay replicated and XLA
+    all-reduces the gradients — the explicit NCCL of the reference becomes
+    an inserted psum.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+
+    def constrain(x):
+        if mesh is None or x.ndim < 1 or x.shape[0] % mesh.shape["data"]:
+            return x
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def step(params, opt_state, batch, rng):
+        batch = {k: constrain(jnp.asarray(v)) for k, v in batch.items()}
+
+        def loss_fn(p):
+            loss_dict, _ = model.apply(
+                p, batch, states, config, weights, rng, method=model.loss
+            )
+            return sum(jax.tree.leaves(loss_dict)), loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, loss_dict
+
+    init = lambda params: opt.init(params)
+    if mesh is None:
+        return jax.jit(step), init
+    with mesh:
+        return jax.jit(step), init
