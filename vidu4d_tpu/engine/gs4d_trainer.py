@@ -172,6 +172,9 @@ class Stage3Trainer:
         )
         self.gs_adam = gs_adam_init(self.surfels.params)
         self.warp_opt = optax.chain(
+            # a single NaN leaf otherwise NaNs the global clip norm and with
+            # it EVERY parameter in one step (observed via a z~0 projection)
+            optax.zero_nans(),
             optax.clip_by_global_norm(5.0),
             optax.adamw(opts.get("learning_rate", 5e-4), weight_decay=1e-4),
         )

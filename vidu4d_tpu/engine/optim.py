@@ -89,6 +89,7 @@ def make_stage2_optimizer(
     mult_tree = lr_multiplier_tree(params, intrinsics_mult=intrinsics_lr_mult)
     schedule = onecycle_linear(learning_rate, total_steps, num_rounds, is_resumed)
     return optax.chain(
+        optax.zero_nans(),  # one NaN leaf must not poison the global clip
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(b1=0.9, b2=0.999),
         optax.add_decayed_weights(weight_decay),

@@ -29,7 +29,12 @@ def pinhole_projection(Kmat: jax.Array, xyz_cam: jax.Array) -> jax.Array:
     shape = xyz_cam.shape
     Kmat = Kmat.reshape(shape[:1] + (1,) * (len(shape) - 2) + (3, 3))
     hxy = jnp.einsum("...ij,...j->...i", Kmat, xyz_cam)
-    return hxy / (hxy[..., -1:] + 1e-6)
+    # sign-preserving clamped denominator: a warped point crossing the
+    # camera plane (z ~ -1e-6 with the old additive bias) produced inf/NaN
+    # gradients that a single global-norm clip then spread to every param
+    z = hxy[..., -1:]
+    z_safe = jnp.where(jnp.abs(z) < 1e-3, jnp.where(z < 0, -1e-3, 1e-3), z)
+    return hxy / z_safe
 
 
 def K2mat(K: jax.Array) -> jax.Array:
