@@ -171,12 +171,22 @@ class Stage3Trainer:
             regist_feat=opts.get("regist_feat_lr", 2.5e-3),
         )
         self.gs_adam = gs_adam_init(self.surfels.params)
-        self.warp_opt = optax.chain(
-            # a single NaN leaf otherwise NaNs the global clip norm and with
-            # it EVERY parameter in one step (observed via a z~0 projection)
-            optax.zero_nans(),
-            optax.clip_by_global_norm(5.0),
-            optax.adamw(opts.get("learning_rate", 5e-4), weight_decay=1e-4),
+        # warp/camera AdamW uses the SAME schedule as the reference
+        # (`trainer.py:258-286`): OneCycle warm-up from lr/25 over 2 rounds +
+        # the 10x explicit-param table. A constant peak LR destroys the
+        # transferred cameras within ~100 steps (observed: focal/quat drift
+        # until every splat is behind the near plane).
+        from vidu4d_tpu.engine.optim import make_stage2_optimizer
+
+        total_steps = opts.get("num_rounds", 60) * opts.get(
+            "iters_per_round", 200
+        )
+        self.warp_opt = make_stage2_optimizer(
+            self.params,
+            learning_rate=opts.get("learning_rate", 5e-4),
+            total_steps=total_steps,
+            num_rounds=opts.get("num_rounds", 60),
+            intrinsics_lr_mult=opts.get("intrinsics_lr_mult", 1.0),
         )
         self.warp_opt_state = self.warp_opt.init(self.params)
 
