@@ -44,7 +44,7 @@ def run_bench(args):
         frame_info, n_frames=args.frames, n_surfels=args.surfels, res=args.res
     )
     raster_cfg = RasterizeConfig(
-        tile=16, span_cap=4, budget=args.budget, tile_chunk=8,
+        tile=16, span_cap=4, budget=args.budget, tile_chunk=16,
         impl=args.impl,
     )
     step = build_stage3_train_step(deformer, args.res, raster_cfg)

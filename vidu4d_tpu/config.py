@@ -130,7 +130,7 @@ class GaussianConfig:
     flags.DEFINE_integer("raster_tile", 16, "raster tile size")
     flags.DEFINE_integer("raster_span_cap", 4, "per-splat tile-span cap")
     flags.DEFINE_integer("raster_budget", 1024, "XLA-tiles entry budget")
-    flags.DEFINE_integer("raster_tile_chunk", 8, "tiles per lax.map step")
+    flags.DEFINE_integer("raster_tile_chunk", 16, "tiles per lax.map step (16 measured fastest on v5e)")
     flags.DEFINE_string("raster_impl", "tiles",
                         "tiles | naive | pallas_grad (fused TPU kernels)")
 

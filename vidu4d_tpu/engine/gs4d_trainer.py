@@ -197,7 +197,7 @@ class Stage3Trainer:
             tile=opts.get("raster_tile", 16),
             span_cap=opts.get("raster_span_cap", 4),
             budget=opts.get("raster_budget", 1024),
-            tile_chunk=opts.get("raster_tile_chunk", 8),
+            tile_chunk=opts.get("raster_tile_chunk", 16),
             impl=opts.get("raster_impl", "tiles"),
         )
         self._train_step = self._build_train_step()
