@@ -22,7 +22,9 @@ def save_vid(path_prefix: str, frames: List[np.ndarray], fps: int = 10):
         imageio.mimsave(f"{path_prefix}.mp4", frames8, fps=fps)
         return f"{path_prefix}.mp4"
     except Exception:
-        imageio.mimsave(f"{path_prefix}.gif", frames8, fps=fps)
+        # pillow gif writer takes per-frame duration (ms), not fps
+        imageio.mimsave(f"{path_prefix}.gif", frames8,
+                        duration=int(1000 / max(fps, 1)))
         return f"{path_prefix}.gif"
 
 
