@@ -24,6 +24,10 @@ EXPLICIT_PARAM_NAMES = (
     "base_logfocal",
     "base_ppoint",
     "trans_scaling",
+    # stage-3 learnable background: the reference trains bg_rgb in its GS
+    # Adam at feature_lr=2.5e-3 (trainer.py:254-255) — 5x the base LR; at
+    # base LR it never reaches the scene background within a schedule
+    "bg_color",
 )
 
 
