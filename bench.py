@@ -1,126 +1,252 @@
-"""Benchmark: Stage-3 dynamic-Gaussian-surfel training step on real hardware.
+"""Benchmark: PRODUCTION Stage-3 training step on real hardware.
 
-Measures the hot path the whole pipeline is built around (SURVEY.md §3.3):
-DQ-skinning warp of P surfels -> tiled differentiable 2DGS rasterization at
-train_res**2 -> loss -> backward -> surfel Adam. Prints ONE JSON line:
+Times `Stage3Trainer._build_train_step` — the full hot path (SURVEY.md §3.3):
+DQ-skinning warp of P surfels, tiled differentiable 2DGS rasterization at
+res², the complete loss stack (rgb/mask/feat-reproj/cycle/skin regs),
+backward, densify-stat projection pass, surfel Adam + warp AdamW. Prints ONE
+JSON line:
 
     {"metric": "stage3_splats_per_sec", "value": N, "unit": "splats/s",
      "vs_baseline": R}
 
+Measurement rules (VERDICT.md r1: `jax.block_until_ready` returns before
+execution finishes on the axon platform, so r1's numbers timed dispatch):
+* iterations are chained (step consumes the previous step's outputs) and the
+  LAST iteration's loss scalar is fetched to host inside the timed region —
+  the only sync XLA actually honors here;
+* the workload is a converged-scene surfel distribution (object-shaped
+  cloud, knn-derived scales ≈1-2 px projected), not a degenerate point blob;
+* FLOPs from `compiled.cost_analysis()` give an effective-TFLOP/s figure so
+  a physically impossible number is visible immediately.
+
 The reference publishes no numbers (BASELINE.json "published": {}), so
-vs_baseline is reported against REFERENCE_SPLATS_PER_SEC below — an estimate
-of the reference CUDA pipeline's same-workload throughput derived from its
-published schedule (61 rounds x 200 iters at 256^2 with ~200k surfels; see
-BASELINE.md). Update it with a measured number when one exists.
+vs_baseline is against REFERENCE_SPLATS_PER_SEC — an estimate of the
+reference CUDA pipeline (~10 it/s × 200k splats at 256² on A100,
+see BASELINE.md). Update when a measured number exists.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import shutil
+import sys
+import tempfile
 import time
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Reference-side estimate: the 3DGS-family CUDA trainers sustain roughly
-# 8-12 it/s at 256^2 with ~200k splats on an A100-class GPU; Vidu4D adds the
-# warp field on top. We take 10 it/s * 200k splats = 2e6 splats/s rendered
-# per optimization step as the bar to beat.
 REFERENCE_SPLATS_PER_SEC = 2.0e6
+V5E_PEAK_FLOPS = 197e12  # bf16; f32 VPU work peaks far lower
 
 
-def run_bench(args):
-    from vidu4d_tpu.data.frame_info import FrameInfo
+def build_trainer(surfels: int, res: int, frames: int, impl: str,
+                  span_cap: int, budget: int, tmp: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.helpers import make_fake_db
+    from vidu4d_tpu.engine.gs4d_trainer import Stage3Trainer
+    from vidu4d_tpu.models.gaussian import surfels as sf
+
+    db = make_fake_db(tmp, num_vids=1, T=16, H=res, W=res)
+    opts = {
+        "dataroot": db,
+        "seqname": "toy",
+        "logname": "bench",
+        "logroot": os.path.join(tmp, "logdir"),
+        "data_prefix": "crop",
+        "train_res": res,
+        "pixels_per_image": -1,
+        "imgs_per_gpu": frames // 2,
+        "fg_motion": "gs-bob",
+        "gs_capacity": surfels,
+        "gs_init_samples": surfels,
+        "sh_degree": 3,
+        "raster_impl": impl,
+        "raster_span_cap": span_cap,
+        "raster_budget": budget,
+        "num_rounds": 60,
+        "iters_per_round": 200,
+    }
+    trainer = Stage3Trainer(opts)
+
+    # converged-scene surfel cloud: object-shaped ellipsoid filling ~half the
+    # frame at the fake-db camera (z=3, fx=res), knn-based scales ≈1-2 px.
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(surfels, 3)).astype(np.float32)
+    pts *= np.array([0.45, 0.6, 0.45], np.float32)
+    cols = rng.uniform(size=(surfels, 3)).astype(np.float32)
+    feats = rng.normal(size=(surfels, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    trainer.surfels = sf.init_from_points(
+        jnp.asarray(pts), jnp.asarray(cols), surfels, sh_degree=3,
+        key=jax.random.PRNGKey(0), regist_feat=jnp.asarray(feats),
+    )
     from vidu4d_tpu.models.gaussian.optimizer import gs_adam_init
-    from vidu4d_tpu.ops.rasterize import RasterizeConfig
-    from vidu4d_tpu.parallel.sharding import (
-        build_stage3_train_step,
-        make_synthetic_stage3_inputs,
-    )
 
-    frame_info = FrameInfo.single_video(16)
-    deformer, params, surfels, batch = make_synthetic_stage3_inputs(
-        frame_info, n_frames=args.frames, n_surfels=args.surfels, res=args.res
-    )
-    raster_cfg = RasterizeConfig(
-        tile=16, span_cap=4, budget=args.budget, tile_chunk=16,
-        impl=args.impl,
-    )
-    step = build_stage3_train_step(deformer, args.res, raster_cfg)
-    gs_adam = gs_adam_init(surfels.params)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    trainer.gs_adam = gs_adam_init(trainer.surfels.params)
+    return trainer
 
-    # compile + warmup
-    surfels_w, gs_adam_w, metrics = step(params, surfels, gs_adam, batch)
-    jax.block_until_ready(metrics["total"])
 
-    t0 = time.perf_counter()
-    s, a = surfels, gs_adam
-    for _ in range(args.iters):
-        s, a, metrics = step(params, s, a, batch)
-    jax.block_until_ready(metrics["total"])
-    dt = (time.perf_counter() - t0) / args.iters
+def run_bench(args) -> dict:
+    import jax
+    import numpy as np
 
-    splats_per_sec = args.surfels * args.frames / dt
-    return {
-        "metric": "stage3_splats_per_sec",
-        "value": round(splats_per_sec, 1),
-        "unit": "splats/s",
-        "vs_baseline": round(splats_per_sec / REFERENCE_SPLATS_PER_SEC, 4),
-        "detail": {
+    from vidu4d_tpu.engine.schedules import progress_schedule
+
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    try:
+        trainer = build_trainer(
+            args.surfels, args.res, args.frames, args.impl,
+            args.span_cap, args.budget, tmp,
+        )
+        batch = trainer._next_batch()
+        cfg = trainer._loss_config()
+        weights = progress_schedule(
+            {**cfg, "reg_eikonal_wt": 0.0}, 1000
+        )
+        weights["lambda_normal"] = 0.0
+        weights["lambda_dist"] = 0.0
+        step = trainer._train_step
+
+        state = (trainer.params, trainer.surfels, trainer.gs_adam,
+                 trainer.warp_opt_state)
+
+        def once(state):
+            p, s, a, w = state
+            p, s, a, w, metrics = step(p, s, a, w, batch, weights,
+                                       use_2dgs_reg=False)
+            return (p, s, a, w), metrics
+
+        # compile + warmup; the host fetch is the only real sync on axon.
+        # TWO chained warmups: the first step's outputs have canonical device
+        # avals that the init-produced state does not, so the second call
+        # compiles again — timing must start after both compiles.
+        state_w, metrics = once(state)
+        _ = float(metrics["total"])
+        state_w, metrics = once(state_w)
+        _ = float(metrics["total"])
+
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(args.iters):
+            st, metrics = once(st)
+        total = float(metrics["total"])  # forces the chained computation
+        dt = (time.perf_counter() - t0) / args.iters
+
+        flops = None
+        try:
+            lowered = step.lower(*state, batch, weights, use_2dgs_reg=False)
+            cost = lowered.compile().cost_analysis()
+            if cost:
+                flops = cost.get("flops")
+        except Exception:
+            pass
+
+        if not np.isfinite(total):
+            raise RuntimeError(f"non-finite loss {total}")
+
+        splats_per_sec = args.surfels * args.frames / dt
+        detail = {
             "step_ms": round(dt * 1000, 2),
             "surfels": args.surfels,
             "res": args.res,
             "frames": args.frames,
+            "impl": args.impl,
+            "loss": round(total, 4),
             "device": str(jax.devices()[0]),
-        },
-    }
+        }
+        if flops:
+            detail["gflop_per_step"] = round(flops / 1e9, 1)
+            detail["tflops_eff"] = round(flops / dt / 1e12, 3)
+            detail["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 5)
+        return {
+            "metric": "stage3_splats_per_sec",
+            "value": round(splats_per_sec, 1),
+            "unit": "splats/s",
+            "vs_baseline": round(splats_per_sec / REFERENCE_SPLATS_PER_SEC, 4),
+            "detail": detail,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--surfels", type=int, default=200_000)
     ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=2,
+                    help="frames per step (pairs*2)")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--budget", type=int, default=1024)
-    ap.add_argument("--impl", default="tiles",
-                    choices=["tiles", "naive", "pallas", "pallas_grad"],
-                    help="rasterizer backend to benchmark")
-    ap.add_argument("--quick", action="store_true", help="tiny shapes, smoke only")
+    ap.add_argument("--span-cap", type=int, default=4)
+    ap.add_argument("--impl", default="pallas_grad",
+                    choices=["tiles", "naive", "pallas_grad"])
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--child", action="store_true",
+                    help="internal: single-attempt worker process")
     args = ap.parse_args()
 
     if args.quick:
         args.surfels, args.res, args.iters = 4096, 64, 5
 
+    if args.child:
+        # single attempt; parent handles retries in fresh processes (a TPU
+        # worker crash poisons the in-process client irrecoverably)
+        try:
+            print(json.dumps(run_bench(args)))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"error": str(e).splitlines()[0][:300]}))
+            sys.exit(1)
+        return
+
     # the tunneled single-chip TPU occasionally drops the worker mid-run;
-    # retry at progressively smaller workloads so the driver always gets
-    # one JSON line (throughput is roughly size-independent here).
+    # retry at progressively smaller workloads, each in a FRESH process, so
+    # the driver always gets one JSON line.
+    import subprocess
+
     fallbacks = [
         (args.surfels, args.res),
-        (max(args.surfels // 4, 1024), args.res),
-        (max(args.surfels // 16, 1024), min(args.res, 128)),
+        (max(args.surfels // 4, 4096), args.res),
+        (max(args.surfels // 16, 4096), min(args.res, 128)),
     ]
     last_err = None
     for surfels, res in fallbacks:
-        args.surfels, args.res = surfels, res
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--child",
+            "--surfels", str(surfels), "--res", str(res),
+            "--frames", str(args.frames), "--iters", str(args.iters),
+            "--budget", str(args.budget), "--span-cap", str(args.span_cap),
+            "--impl", args.impl,
+        ]
         try:
-            print(json.dumps(run_bench(args)))
-            return
-        except Exception as e:  # noqa: BLE001 — emit a line no matter what
-            last_err = str(e).splitlines()[0][:200]
-    print(
-        json.dumps(
-            {
-                "metric": "stage3_splats_per_sec",
-                "value": 0.0,
-                "unit": "splats/s",
-                "vs_baseline": 0.0,
-                "detail": {"error": last_err},
-            }
-        )
-    )
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3000,
+            )
+            line = None
+            for ln in (proc.stdout or "").splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    line = ln
+            if line and proc.returncode == 0:
+                print(line)
+                return
+            if line:
+                last_err = json.loads(line).get("error", line)
+            else:
+                last_err = (proc.stderr or "no output").splitlines()[-1][:300]
+        except Exception as e:  # noqa: BLE001
+            last_err = str(e).splitlines()[0][:300]
+    print(json.dumps({
+        "metric": "stage3_splats_per_sec",
+        "value": 0.0,
+        "unit": "splats/s",
+        "vs_baseline": 0.0,
+        "detail": {"error": last_err},
+    }))
 
 
 if __name__ == "__main__":

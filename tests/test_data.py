@@ -134,3 +134,26 @@ def test_bilinear_interp():
     assert out[0, 0] == 0.0
     assert abs(out[1, 0] - 7.5) < 1e-5
     assert abs(out[2, 0] - 15.0) < 1e-5
+
+
+def test_pair_batcher_host_sharding(tmp_path):
+    """Multi-host sample-space sharding (`host_slice`; DistributedSampler
+    analog, reference `data_utils.py:56-71`)."""
+    from tests.helpers import make_fake_db
+    from vidu4d_tpu.data import data_utils
+
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    opts = {"dataroot": db, "seqname": "toy", "data_prefix": "crop",
+            "train_res": 16, "pixels_per_image": 4}
+    ds = data_utils.build_datasets(opts)
+    full = data_utils.PairBatcher(ds, imgs_per_batch=2, num_hosts=1, host_id=0)
+    shard0 = data_utils.PairBatcher(ds, imgs_per_batch=2, num_hosts=2, host_id=0)
+    shard1 = data_utils.PairBatcher(ds, imgs_per_batch=2, num_hosts=2, host_id=1)
+    # disjoint, covering partition of the (vid, frame) index space
+    s0, s1 = set(shard0.index), set(shard1.index)
+    assert s0 | s1 == set(full.index)
+    assert not (s0 & s1)
+    assert abs(len(s0) - len(s1)) <= 1
+    # both shards actually produce batches
+    b = shard1.next_batch()
+    assert b["rgb"].shape[0] == 2

@@ -115,3 +115,108 @@ def test_api_dispatch_pallas_grad_interpret():
         assert float(np.abs(np.asarray(g)).max()) > 0
     finally:
         pb_dict["rasterize_pallas_grad"] = saved
+
+
+@pytest.mark.slow
+def test_pallas_extra_channels_interpret():
+    """Extra composited channels (flow supervision path) match the tiles
+    implementation in value and gradient."""
+    import jax
+
+    from vidu4d_tpu.ops.rasterize.pallas_backward import rasterize_pallas_grad
+
+    rng = np.random.default_rng(11)
+    means, quats, scales, opac, colors, viewmat, intrins = make_scene(rng, n=60)
+    extra = jnp.asarray(rng.normal(size=(colors.shape[0], 2)), jnp.float32)
+    colors5 = jnp.concatenate([colors, extra], axis=-1)
+    bg = jnp.asarray([0.1, 0.2, 0.3, 0.0, 0.0], jnp.float32)
+    H = W = 32
+
+    def make_loss(raster):
+        def loss(means, colors5, opac, bg):
+            proj = project_splats(means, quats, scales, viewmat, intrins)
+            out = raster(proj, colors5, opac, bg)
+            return (
+                jnp.mean(out.color[..., :3] ** 2)
+                + 0.7 * jnp.mean(jnp.abs(out.color[..., 3:]))
+                + 0.2 * jnp.mean(out.alpha)
+            )
+        return loss
+
+    loss_xla = make_loss(
+        lambda p, c, o, b: rasterize_tiles_from_projection(
+            p, c, o, b, H, W, tile=16, span_cap=4, budget=128, tile_chunk=2
+        )
+    )
+    loss_pal = make_loss(
+        lambda p, c, o, b: rasterize_pallas_grad(
+            p, c, o, b, H, W, tile=16, span_cap=4, interpret=True
+        )
+    )
+    args = (means, colors5, opac, bg)
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means", "colors5", "opac", "bg"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
+        )
+
+
+@pytest.mark.slow
+def test_pallas_batched_frames_interpret():
+    """Batched-grid kernel (frame dim folded into the grid) matches the
+    per-frame tiles path in value and gradient."""
+    import jax
+
+    from vidu4d_tpu.ops.rasterize.pallas_backward import (
+        rasterize_pallas_grad_batch,
+    )
+
+    rng = np.random.default_rng(21)
+    means, quats, scales, opac, colors, viewmat, intrins = make_scene(rng, n=50)
+    # two frames with different poses + extra flow channels
+    shift = jnp.asarray([0.1, -0.05, 0.2], jnp.float32)
+    means_b = jnp.stack([means, means + shift])
+    extra = jnp.asarray(rng.normal(size=(2, means.shape[0], 2)), jnp.float32)
+    colors_b = jnp.concatenate(
+        [jnp.stack([colors, colors * 0.5]), extra], axis=-1
+    )
+    bg = jnp.asarray([0.1, 0.2, 0.3, 0.0, 0.0], jnp.float32)
+    H = W = 32
+
+    def loss_tiles(means_b, colors_b, opac):
+        def one(mn, cl):
+            proj = project_splats(mn, quats, scales, viewmat, intrins)
+            out = rasterize_tiles_from_projection(
+                proj, cl, opac, bg, H, W, tile=16, span_cap=4, budget=128,
+                tile_chunk=2,
+            )
+            return out
+        out = jax.vmap(one)(means_b, colors_b)
+        return (
+            jnp.mean(out.color ** 2) + 0.2 * jnp.mean(out.alpha)
+            + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+        )
+
+    def loss_batch(means_b, colors_b, opac):
+        proj_b = jax.vmap(
+            lambda mn: project_splats(mn, quats, scales, viewmat, intrins)
+        )(means_b)
+        out = rasterize_pallas_grad_batch(
+            proj_b, colors_b, opac, bg, H, W, tile=16, span_cap=4,
+            interpret=True,
+        )
+        return (
+            jnp.mean(out.color ** 2) + 0.2 * jnp.mean(out.alpha)
+            + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+        )
+
+    args = (means_b, colors_b, opac)
+    v1, g1 = jax.value_and_grad(loss_tiles, argnums=(0, 1, 2))(*args)
+    v2, g2 = jax.value_and_grad(loss_batch, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means_b", "colors_b", "opac"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
+        )

@@ -21,6 +21,15 @@ from vidu4d_tpu.data.frame_info import FrameInfo
 from vidu4d_tpu.data.vidloader import VidDataset, load_sequence_config
 
 
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def build_datasets(opts: Dict, rng: Optional[np.random.Generator] = None) -> List[VidDataset]:
     config_path = os.path.join(
         opts.get("dataroot", "database"), "configs", f"{opts['seqname']}.config"
@@ -125,15 +134,25 @@ class PairBatcher:
     running multi-process."""
 
     def __init__(self, datasets: List[VidDataset], imgs_per_batch: int,
-                 seed: int = 0, num_hosts: int = 1, host_id: int = 0):
+                 seed: int = 0, num_hosts: int = None, host_id: int = None):
+        from vidu4d_tpu.utils.host_map import host_slice
+
         self.datasets = datasets
         self.imgs_per_batch = imgs_per_batch
-        self.rng = np.random.default_rng(seed + host_id)
         self.index = []  # (vid, frame) pairs
         for vid, ds in enumerate(datasets):
             for t in range(len(ds)):
                 self.index.append((vid, t))
-        self.index = self.index[host_id::num_hosts]
+        # per-host shard of the sample space (the DistributedSampler analog,
+        # `data_utils.py:56-71`); defaults to jax.process_index/count so
+        # multi-host runs shard automatically
+        self.index = host_slice(
+            self.index, process_index=host_id, process_count=num_hosts
+        )
+        self.host_id = host_id
+        self.rng = np.random.default_rng(
+            seed + (host_id if host_id is not None else _process_index())
+        )
 
     def next_batch(self) -> Dict[str, np.ndarray]:
         picks = self.rng.integers(0, len(self.index), size=self.imgs_per_batch)

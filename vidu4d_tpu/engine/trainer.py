@@ -107,6 +107,17 @@ class Stage2Trainer:
             seed=opts.get("seed", 0),
         )
 
+        # multi-chip: data-parallel mesh over the first --ngpu devices; the
+        # frame/pixel batch shards over "data", parameters stay replicated
+        # and XLA psums the gradients (the DDP+NCCL analog,
+        # `lab4d/train.py:20-42`, `trainer.py:126-131`).
+        ngpu = opts.get("ngpu", 1) or 1
+        self.mesh = None
+        if ngpu > 1:
+            from vidu4d_tpu.parallel.sharding import make_mesh
+
+            self.mesh = make_mesh(ngpu)
+
         self._init_params()
         self.optimizer = make_stage2_optimizer(
             self.params,
@@ -329,9 +340,24 @@ class Stage2Trainer:
         cfg = self._loss_config()
         model = self.model
         optimizer = self.optimizer
+        mesh = self.mesh
+
+        def shard_data(x):
+            """Frame-leading batch arrays shard over the mesh "data" axis."""
+            if mesh is None or not hasattr(x, "ndim") or x.ndim < 1:
+                return x
+            if x.shape[0] % mesh.shape["data"]:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec("data"))
+            )
 
         @jax.jit
         def step(params, opt_state, states, batch, weights, rng):
+            batch = {k: shard_data(v) for k, v in batch.items()}
+
             def loss_fn(p):
                 loss_dict, _ = model.apply(
                     p, batch, states, cfg, weights, rng, method=model.loss

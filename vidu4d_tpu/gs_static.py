@@ -95,6 +95,46 @@ def main(_):
             viewer.close()
     save_ply(os.path.join(out_dir, "point_cloud.ply"),
              jax.tree.map(np.asarray, state.params), np.asarray(state.alive))
+
+    # final eval over train views: PSNR/SSIM/LPIPS (`gs/metrics.py:49-100`)
+    from vidu4d_tpu.ops.image_losses import ssim
+    from vidu4d_tpu.ops.lpips import lpips, lpips_kind
+    from vidu4d_tpu.ops.rasterize import rasterize
+
+    bg = jnp.ones((3,)) if config.white_background else jnp.zeros((3,))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def render_cam(params, alive, viewmat, intrins, h, w):
+        return rasterize(
+            params.xyz, sf.get_rotation(params), sf.get_scaling(params),
+            sf.get_opacity(params)[:, 0], viewmat=viewmat, intrins=intrins,
+            height=h, width=w, shs=sf.get_features(params),
+            sh_degree=config.sh_degree, bg_color=bg, mask=alive,
+            config=config.raster,
+        )
+
+    final = {"psnr": [], "ssim": [], "lpips": []}
+    for cam in cams[:: max(1, len(cams) // 8)]:
+        h, w = cam.image.shape[:2]
+        out = render_cam(
+            state.params, state.alive, cam.viewmat, cam.intrins, h, w
+        )
+        pred = np.clip(np.asarray(out.color), 0, 1)
+        gt = np.asarray(cam.image)
+        p_t = jnp.transpose(jnp.asarray(pred), (2, 0, 1))
+        g_t = jnp.transpose(jnp.asarray(gt), (2, 0, 1))
+        final["psnr"].append(float(psnr(p_t, g_t)))
+        final["ssim"].append(float(ssim(p_t, g_t)))
+        final["lpips"].append(lpips(pred, gt))
+    if history:
+        history[-1].update(
+            eval_psnr=float(np.mean(final["psnr"])),
+            eval_ssim=float(np.mean(final["ssim"])),
+            eval_lpips=float(np.mean(final["lpips"])),
+            lpips_kind=lpips_kind(),
+        )
     with open(os.path.join(out_dir, "history.json"), "w") as f:
         json.dump(history, f)
 

@@ -30,32 +30,28 @@ def load_images(d):
     return [imageio.imread(p).astype(np.float32) / 255.0 for p in paths]
 
 
-def lpips_available():
-    try:
-        import torchvision  # noqa: F401
-
-        return True
-    except Exception:
-        return False
-
-
 def compute_metrics(preds, gts):
     import jax.numpy as jnp
 
     from vidu4d_tpu.ops.image_losses import psnr, ssim
+    from vidu4d_tpu.ops.lpips import lpips, lpips_kind
 
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     for p, g in zip(preds, gts):
         p_t = jnp.transpose(jnp.asarray(p[..., :3]), (2, 0, 1))
         g_t = jnp.transpose(jnp.asarray(g[..., :3]), (2, 0, 1))
         psnrs.append(float(psnr(p_t, g_t)))
         ssims.append(float(ssim(p_t, g_t)))
-    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-           "n_images": len(psnrs)}
-    # LPIPS requires pretrained VGG/Alex weights (a network download); report
-    # when available, mark unavailable otherwise (zero-egress environments).
-    out["lpips"] = None
-    return out
+        lpipss.append(lpips(p[..., :3], g[..., :3]))
+    return {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "lpips": float(np.mean(lpipss)),
+        # which VGG weights produced the LPIPS number (pretrained vs the
+        # pinned random fallback — see vidu4d_tpu/ops/lpips.py docstring)
+        "lpips_kind": lpips_kind(),
+        "n_images": len(psnrs),
+    }
 
 
 def main(_):

@@ -260,7 +260,11 @@ def render_surfels_batch(
     densify_dummy: Optional[jax.Array] = None,  # (M, P, 2)
     extra_colors: Optional[jax.Array] = None,  # (M, P, C) appended channels
 ):
-    """Rasterize warped surfels for every batch frame (vmap over M)."""
+    """Rasterize warped surfels for every batch frame.
+
+    XLA backends vmap the per-frame rasterizer; the Pallas training backend
+    ("pallas_grad") folds the frame dim into the kernel grid instead (one
+    fwd + one bwd launch per step, no pallas batching rules involved)."""
     eye = jnp.eye(4, dtype=xyz_cam.dtype)
     scaling = sf.get_scaling(params)
     opacity = sf.get_opacity(params)[:, 0]
@@ -268,6 +272,35 @@ def render_surfels_batch(
     bg = jnp.broadcast_to(bg_color, (xyz_cam.shape[0], bg_color.shape[-1]))
     if densify_dummy is None:
         densify_dummy = jnp.zeros(xyz_cam.shape[:2] + (2,), xyz_cam.dtype)
+
+    if config.impl == "pallas_grad":
+        from vidu4d_tpu.ops.rasterize.common import project_splats
+        from vidu4d_tpu.ops.rasterize.pallas_backward import (
+            rasterize_pallas_grad_batch,
+        )
+
+        def colors_one(xyz_i, extra_i):
+            c = sh_ops.eval_sh_color(
+                sh_degree, shs, xyz_i, jnp.zeros((3,), xyz_i.dtype)
+            )
+            if extra_i is not None:
+                c = jnp.concatenate([c, extra_i], axis=-1)
+            return c
+
+        colors_b = (
+            jax.vmap(lambda x: colors_one(x, None))(xyz_cam)
+            if extra_colors is None
+            else jax.vmap(colors_one)(xyz_cam, extra_colors)
+        )
+        proj_b = jax.vmap(
+            lambda x, r, k, d: project_splats(
+                x, r, scaling, eye, k, mask=alive, densify_dummy=d
+            )
+        )(xyz_cam, rot_cam, intrins, densify_dummy)
+        return rasterize_pallas_grad_batch(
+            proj_b, colors_b, opacity, bg[0], height, width,
+            tile=config.tile, span_cap=config.span_cap,
+        )
 
     def one(xyz_i, rot_i, intr_i, bg_i, dummy_i, extra_i):
         # SH at camera-space view dirs (camera center at origin)

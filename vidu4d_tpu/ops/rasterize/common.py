@@ -115,8 +115,17 @@ def project_splats(
     f = sgn / d_safe  # (P, 3)
     cx2d = jnp.sum(f * tu * tw, axis=-1)
     cy2d = jnp.sum(f * tv * tw, axis=-1)
-    hx = jnp.sqrt(jnp.maximum(cx2d * cx2d - jnp.sum(f * tu * tu, axis=-1), 0.0))
-    hy = jnp.sqrt(jnp.maximum(cy2d * cy2d - jnp.sum(f * tv * tv, axis=-1), 0.0))
+
+    def safe_sqrt(z):
+        # sqrt's VJP at 0 is 0/0=NaN even under a ZERO cotangent, and the
+        # NaN poisons every gradient reaching tu/tv/tw (observed: finite
+        # losses, gnorm=nan at 50k splats). Double-where keeps the value
+        # and zeroes the gradient on the clamped branch.
+        pos = z > 0.0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, z, 1.0)), 0.0)
+
+    hx = safe_sqrt(cx2d * cx2d - jnp.sum(f * tu * tu, axis=-1))
+    hy = safe_sqrt(cy2d * cy2d - jnp.sum(f * tv * tv, axis=-1))
     center2d = jnp.stack([cx2d, cy2d], axis=-1)
     extent2d = jnp.stack([hx, hy], axis=-1)
     radius = jnp.ceil(3.0 * jnp.maximum(jnp.max(extent2d, axis=-1), FILTER_SIZE))

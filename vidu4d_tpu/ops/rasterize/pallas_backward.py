@@ -44,6 +44,7 @@ from vidu4d_tpu.ops.rasterize.pallas_kernel import (
     _F,
     _CX,
     _CY,
+    _EXTRA,
     _NRM,
     _OPAC,
     _RGB,
@@ -79,7 +80,8 @@ def _suffix_add_lanes(x):
     return x
 
 
-def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
+def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
+                     n_extra: int = 0, n_tiles_per_frame: int = 0):
     px_n = tile * tile
 
     def kernel(start_ref, count_ref, props_hbm, cot_ref, resid_ref,
@@ -88,8 +90,9 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
         t = pl.program_id(0)
         start = start_ref[t]
         count = count_ref[t]
-        base_x = (t % tiles_x) * tile
-        base_y = (t // tiles_x) * tile
+        tl = t % n_tiles_per_frame if n_tiles_per_frame else t
+        base_x = (tl % tiles_x) * tile
+        base_y = (tl // tiles_x) * tile
 
         lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
         pxf = (base_x + lin % tile).astype(jnp.float32) + 0.5
@@ -100,8 +103,9 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
         g_d = cot_ref[0, :, 3][:, None]
         g_a = cot_ref[0, :, 4][:, None]  # alpha output
         g_n = [cot_ref[0, :, 5 + i][:, None] for i in range(3)]
-        g_bgdot = cot_ref[0, :, 8][:, None]  # sum_c gC_c * bg_c
+        g_bgdot = cot_ref[0, :, 8][:, None]  # sum_c gC_c * bg_c (incl. extras)
         g_dist = cot_ref[0, :, 9][:, None]  # distortion cotangent
+        g_extra = [cot_ref[0, :, 10 + e][:, None] for e in range(n_extra)]
         t_fin = resid_ref[0, :, 0][:, None]
         n_contrib = resid_ref[0, :, 1][:, None]  # float count
         s1_tot = resid_ref[0, :, 2][:, None]  # sum w·m over the pixel
@@ -217,6 +221,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
                 + row(_NRM + 2) * g_n[2]
                 + g_dist * (m * m * a_tot + s2_tot - 2.0 * m * s1_tot)
             )
+            for e in range(n_extra):
+                gw = gw + row(_EXTRA + e) * g_extra[e]
 
             # suffix over j > i of Gw_j w_j (within chunk + carry)
             gww = gw * w
@@ -295,6 +301,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
                 (psum(g_opac), _OPAC),
                 (psum(g_rgb[0]), _RGB), (psum(g_rgb[1]), _RGB + 1), (psum(g_rgb[2]), _RGB + 2),
                 (psum(g_nrm[0]), _NRM), (psum(g_nrm[1]), _NRM + 1), (psum(g_nrm[2]), _NRM + 2),
+            ] + [
+                (psum(w * g_extra[e]), _EXTRA + e) for e in range(n_extra)
             ]
             for val, r in rows:
                 gscratch[r, :] = acc[r, :] + val[0]
@@ -320,32 +328,38 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile", "interpret"),
+    static_argnames=("height", "width", "tile", "n_extra", "n_frames",
+                     "interpret"),
 )
 def backward_pallas(
     slab: jax.Array,  # (32, E) transposed prop slab (forward layout)
     tile_start: jax.Array,
     tile_count: jax.Array,
-    cot: jax.Array,  # (num_tiles, px_n, 10): gC(3) gD gA gN(3) gBGdot gDist
+    cot: jax.Array,  # (num_tiles, px_n, 10+X): gC(3) gD gA gN(3) gBGdot gDist gX
     resid: jax.Array,  # (num_tiles, px_n, 4): T_fin, n_contrib, S1, S2
     height: int,
     width: int,
     tile: int = 16,
+    n_extra: int = 0,
+    n_frames: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-entry gradient slab (32, E)."""
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
-    num_tiles = tiles_x * tiles_y
+    num_tiles = tiles_x * tiles_y * n_frames
     px_n = tile * tile
     n_entries = slab.shape[1]
 
-    kernel = _make_bwd_kernel(tiles_x, tile, n_entries)
+    kernel = _make_bwd_kernel(
+        tiles_x, tile, n_entries, n_extra=n_extra,
+        n_tiles_per_frame=(tiles_x * tiles_y if n_frames > 1 else 0),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # props slab
-            pl.BlockSpec((1, px_n, 10), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, px_n, 10 + n_extra), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, px_n, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -378,7 +392,8 @@ def backward_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool):
+def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool,
+               n_extra: int = 0, n_frames: int = 1):
     from vidu4d_tpu.ops.rasterize.pallas_kernel import forward_tiles_pallas
 
     px_n = tile * tile
@@ -387,34 +402,37 @@ def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool):
     def core(slab, tile_start, tile_count, bg):
         color, aux = forward_tiles_pallas(
             slab, tile_start, tile_count, bg, tiles_x, tiles_y, tile,
-            interpret=interpret,
+            n_extra=n_extra, n_frames=n_frames, interpret=interpret,
         )
         return color, aux[..., :8]
 
     def fwd(slab, tile_start, tile_count, bg):
         color, aux = forward_tiles_pallas(
             slab, tile_start, tile_count, bg, tiles_x, tiles_y, tile,
-            interpret=interpret,
+            n_extra=n_extra, n_frames=n_frames, interpret=interpret,
         )
         resid = aux[..., 8:12]  # t_fin, n_contrib, S1, S2
         return (color, aux[..., :8]), (slab, tile_start, tile_count, bg, resid)
 
     def bwd(res, cots):
         slab, tile_start, tile_count, bg, resid = res
-        g_color, g_aux = cots
-        # supported cotangents: color, depth(0), alpha(1), normal(2:5),
-        # distortion(6). median depth/weight cotangents are dropped (never
-        # supervised: depth_ratio=0 in the reference, arguments/__init__.py:68).
+        g_color, g_aux = cots  # g_color: (t, px, 3 + n_extra)
+        # supported cotangents: color (+extras), depth(0), alpha(1),
+        # normal(2:5), distortion(6). median depth/weight cotangents are
+        # dropped (never supervised: depth_ratio=0 in the reference,
+        # arguments/__init__.py:68).
         g_bgdot = jnp.einsum("tpc,c->tp", g_color, bg)[..., None]
         cot = jnp.concatenate(
-            [g_color, g_aux[..., 0:1], g_aux[..., 1:2], g_aux[..., 2:5],
-             g_bgdot, g_aux[..., 6:7]], axis=-1,
+            [g_color[..., :3], g_aux[..., 0:1], g_aux[..., 1:2],
+             g_aux[..., 2:5], g_bgdot, g_aux[..., 6:7], g_color[..., 3:]],
+            axis=-1,
         )
         height = tiles_y * tile
         width = tiles_x * tile
         g_slab = backward_pallas(
             slab, tile_start, tile_count, cot, resid, height, width,
-            tile=tile, interpret=interpret,
+            tile=tile, n_extra=n_extra, n_frames=n_frames,
+            interpret=interpret,
         )
         t_fin = resid[..., 0]
         g_bg = jnp.einsum("tp,tpc->c", t_fin, g_color)
@@ -450,10 +468,16 @@ def rasterize_pallas_grad(
     from vidu4d_tpu.ops.rasterize.pallas_kernel import pack_props
 
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
+    n_extra = colors.shape[-1] - 3
     binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
     slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
-    core = _make_core(tiles_x, tiles_y, tile, interpret)
-    color, aux = core(slab, binning.tile_start, binning.tile_count, bg_color[:3])
+    core = _make_core(tiles_x, tiles_y, tile, interpret, n_extra=n_extra)
+    nchan = 3 + n_extra
+    bg = jnp.concatenate(
+        [bg_color[:nchan],
+         jnp.zeros((max(0, nchan - bg_color.shape[0]),), bg_color.dtype)]
+    )
+    color, aux = core(slab, binning.tile_start, binning.tile_count, bg)
 
     def assemble(x):
         feat = x.shape[2:]
@@ -462,6 +486,79 @@ def rasterize_pallas_grad(
             (tiles_y * tile, tiles_x * tile) + feat
         )
         return img[:height, :width]
+
+    color = assemble(color)
+    aux = assemble(aux)
+    return CompositeOutput(
+        color=color,
+        depth=aux[..., 0],
+        alpha=aux[..., 1],
+        normal=aux[..., 2:5],
+        median_depth=jax.lax.stop_gradient(aux[..., 5]),
+        distortion=aux[..., 6],
+        median_weight=jax.lax.stop_gradient(aux[..., 7]),
+        final_t=1.0 - aux[..., 1],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile", "span_cap", "interpret"),
+)
+def rasterize_pallas_grad_batch(
+    proj_b,  # SplatProjection with (M, P, ...) fields (vmapped projection)
+    colors_b: jax.Array,  # (M, P, C)
+    opacities: jax.Array,  # (P,)
+    bg_color: jax.Array,  # (C,) shared across frames
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+    interpret: bool = False,
+):
+    """Differentiable batched Pallas rasterization: the frame dim is folded
+    into the kernel grid (grid = M * num_tiles over one concatenated entry
+    slab) instead of a vmap of per-frame launches — ONE fwd and ONE bwd
+    kernel launch per training step, and no reliance on pallas_call batching
+    rules. Returns a CompositeOutput with (M, H, W, ...) fields."""
+    from vidu4d_tpu.ops.rasterize.compositing import CompositeOutput
+    from vidu4d_tpu.ops.rasterize.pallas_kernel import pack_props
+
+    tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
+    num_tiles = tiles_x * tiles_y
+    m = proj_b.depth.shape[0]
+    n_extra = colors_b.shape[-1] - 3
+
+    binning = jax.vmap(
+        lambda pr: common.bin_splats(pr, height, width, tile=tile,
+                                     span_cap=span_cap)
+    )(proj_b)
+    opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
+    slab_b = jax.vmap(pack_props)(
+        proj_b, colors_b, opac_b, binning.sorted_splat_ids
+    )  # (M, 32, E_pad)
+    e_pad = slab_b.shape[-1]
+    slab = jnp.swapaxes(slab_b, 0, 1).reshape(slab_b.shape[1], m * e_pad)
+    offs = (jnp.arange(m, dtype=jnp.int32) * e_pad)[:, None]
+    tile_start = (binning.tile_start + offs).reshape(-1)
+    tile_count = binning.tile_count.reshape(-1)
+
+    nchan = 3 + n_extra
+    bg = jnp.concatenate(
+        [bg_color[:nchan],
+         jnp.zeros((max(0, nchan - bg_color.shape[0]),), bg_color.dtype)]
+    )
+    core = _make_core(tiles_x, tiles_y, tile, interpret, n_extra=n_extra,
+                      n_frames=m)
+    color, aux = core(slab, tile_start, tile_count, bg)
+
+    def assemble(x):
+        feat = x.shape[2:]
+        img = x.reshape((m, tiles_y, tiles_x, tile, tile) + feat)
+        img = jnp.swapaxes(img, 2, 3).reshape(
+            (m, tiles_y * tile, tiles_x * tile) + feat
+        )
+        return img[:, :height, :width]
 
     color = assemble(color)
     aux = assemble(aux)

@@ -148,6 +148,39 @@ def construct_batch_from_opts(opts, trainer):
         field2cam = get_bev_cam(field2cam_fr, elev=elev)
         focal = max(res, res)
         camera_int = np.tile([focal, focal, res / 2, res / 2], (len(frameid_sub), 1))
+    elif viewpoint.startswith("refrot"):
+        # sweep the TRAINING camera trajectory across the clip while the
+        # motion plays at its own time — decouples camera time from motion
+        # time (`lab4d/render.py:185-218`; its elev/max_angle args are
+        # parsed but unused there too)
+        index_sub = np.linspace(
+            0, vid_length - 1, len(frameid_sub), dtype=int
+        )
+        field2cam = get_field_cameras(trainer, index_sub + offsets[video_id])
+        scale = np.array([raw_size[1] / res, raw_size[0] / res])
+        camera_int = np.stack(
+            [intrinsics_fr[:, 0] / scale[0], intrinsics_fr[:, 1] / scale[1],
+             intrinsics_fr[:, 2] / scale[0], intrinsics_fr[:, 3] / scale[1]],
+            axis=-1,
+        )
+    elif viewpoint.startswith("novel"):
+        # one FIXED training camera (picked by max_angle as a fraction of
+        # the clip), zoomed out 1.2x, held for the whole motion
+        # (`lab4d/render.py:220-254`)
+        _, max_angle = [int(v) for v in viewpoint.split("_")[1:]]
+        pick = int(round((vid_length - 1) * (max_angle % 360) / 360.0))
+        cam = get_field_cameras(
+            trainer, np.array([pick + offsets[video_id]])
+        )[0]
+        cam = cam.copy()
+        cam[:3, 3] *= 1.2
+        field2cam = np.tile(cam[None], (len(frameid_sub), 1, 1))
+        scale = np.array([raw_size[1] / res, raw_size[0] / res])
+        camera_int = np.stack(
+            [intrinsics_fr[:, 0] / scale[0], intrinsics_fr[:, 1] / scale[1],
+             intrinsics_fr[:, 2] / scale[0], intrinsics_fr[:, 3] / scale[1]],
+            axis=-1,
+        )
     else:
         raise ValueError(f"unknown viewpoint {viewpoint!r}")
 
