@@ -23,3 +23,37 @@ def test_library_loads_or_falls_back():
     # either the native library compiled, or the numpy fallback handles it —
     # both paths exercised by test_native_gather_matches_numpy
     load_library()
+
+
+def test_loader_native_path_matches_numpy(tmp_path):
+    """read_raw via the native gather == the numpy gather path."""
+    import os
+
+    from tests.helpers import make_fake_db
+    from vidu4d_tpu.data import data_utils, native
+
+    if native.load_library() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    opts = {"dataroot": db, "seqname": "toy", "data_prefix": "crop",
+            "train_res": 16, "pixels_per_image": 8}
+    ds = data_utils.build_datasets(opts)[0]
+    rng = np.random.default_rng(0)
+    xy = rng.integers(0, 16, size=(8, 2)).astype(np.int32)
+
+    out_native = ds.read_raw(2, 1, xy)
+    os.environ["VIDU4D_NATIVE_SAMPLER"] = "0"
+    try:
+        out_numpy = ds.read_raw(2, 1, xy)
+    finally:
+        del os.environ["VIDU4D_NATIVE_SAMPLER"]
+
+    assert set(out_native) == set(out_numpy)
+    for k in out_numpy:
+        np.testing.assert_allclose(
+            np.asarray(out_native[k]), np.asarray(out_numpy[k]),
+            atol=1e-6, err_msg=k,
+        )

@@ -135,6 +135,79 @@ class GaussianConfig:
                         "tiles | naive | pallas_grad (fused TPU kernels)")
 
 
+class ReferenceCompatConfig:
+    """Remaining reference flags (`lab4d/config.py:75-238`) accepted so that
+    a reference-produced `opts.log` parses unchanged. Most are vestigial
+    (gen3d SDS / two_branch GSDF / flexicubes — broken upstream paths per
+    SURVEY.md §1) or CUDA-specific (data_device, debug_cuda); none are read
+    by the TPU build unless noted in COMPONENTS.md."""
+
+    flags.DEFINE_integer("tet_grid_size", 80, "")
+    flags.DEFINE_boolean("freeze_warp", False, "")
+    flags.DEFINE_boolean("test_in_train", False, "")
+    flags.DEFINE_boolean("recon_keep_coarse", False, "")
+    flags.DEFINE_boolean("gen3d_optim_all", False, "")
+    flags.DEFINE_float("top_alpha", 1, "")
+    flags.DEFINE_float("gs", 50.0, "")
+    flags.DEFINE_string("gen3d_guidance", "mvd", "")
+    flags.DEFINE_boolean("recon_no_coarsetofine", False, "")
+    flags.DEFINE_float("gen3d_wt", 0, "")
+    flags.DEFINE_integer("gen3d_res", 64, "")
+    flags.DEFINE_float("gen3d_dist", 1, "")
+    flags.DEFINE_float("gen3d_freq", 2, "")
+    flags.DEFINE_integer("gen3d_start_iters", 0, "")
+    flags.DEFINE_boolean("gen3d_dirprompt", False, "")
+    flags.DEFINE_boolean("render_uncert", False, "")
+    flags.DEFINE_integer("gen3d_frameid", -1, "")
+    flags.DEFINE_integer("seed", -1, "")
+    flags.DEFINE_boolean("gen3d_random_bkgd", False, "")
+    flags.DEFINE_string("prompt", "A_photo_of_a_cat", "")
+    flags.DEFINE_boolean("reset_rgb_mlp", False, "")
+    flags.DEFINE_float("gen3d_sds_t_max", 0.98, "")
+    flags.DEFINE_boolean("rgb_only", False, "")
+    flags.DEFINE_boolean("geo_only", False, "")
+    flags.DEFINE_boolean("gen3d_regloss", False, "")
+    flags.DEFINE_boolean("gen3d_jacobloss", False, "")
+    flags.DEFINE_boolean("gen3d_cycloss", False, "")
+    flags.DEFINE_boolean("gen3d_sds_normal", False, "")
+    flags.DEFINE_integer("lock_frameid", -1, "")
+    flags.DEFINE_string("lab4d_init_mesh", "", "")
+    flags.DEFINE_boolean("freeze_bone_len", False, "")
+    flags.DEFINE_boolean("debug_cuda", False, "")
+    flags.DEFINE_boolean("use_gs_optimizer", False, "")
+    flags.DEFINE_boolean("not_load_warping", False, "")
+    flags.DEFINE_boolean("two_branch", False, "")
+    flags.DEFINE_integer("dgs_k", 4, "")
+    flags.DEFINE_integer("neus_branch_reso", 64, "")
+    flags.DEFINE_integer("optim_warp_neus_iters", 12000, "")
+    flags.DEFINE_integer("start_mutual_iters", 999999, "")
+    flags.DEFINE_float("mutual_depth_wt", 1, "")
+    flags.DEFINE_float("mutual_normal_wt", 1, "")
+    flags.DEFINE_float("mutual_mask_wt", 1, "")
+    flags.DEFINE_bool("depth_guide_sample", False, "")
+    flags.DEFINE_integer("novel_neus_interv", -1, "")
+    flags.DEFINE_boolean("vis2d_dilate", False, "")
+    # gs fork viewer/trainer args bridged into absl (`gs/arguments`)
+    flags.DEFINE_string("ip", "127.0.0.1", "")
+    flags.DEFINE_integer("port", 6322, "")
+    flags.DEFINE_integer("debug_from", -1, "")
+    flags.DEFINE_boolean("detect_anomaly", False, "")
+    flags.DEFINE_list("test_iterations", [7000, 30000], "")
+    flags.DEFINE_list("save_iterations", [7000, 30000], "")
+    flags.DEFINE_boolean("quiet", False, "")
+    flags.DEFINE_list("checkpoint_iterations", [30000], "")
+    flags.DEFINE_string("start_checkpoint", "", "")
+    flags.DEFINE_string("source_path", "", "")
+    flags.DEFINE_string("model_path", "", "")
+    flags.DEFINE_string("images", "images", "")
+    flags.DEFINE_integer("resolution", -1, "")
+    flags.DEFINE_string("data_device", "cuda", "")
+    flags.DEFINE_boolean("eval", False, "")
+    flags.DEFINE_boolean("debug", False, "")
+    flags.DEFINE_boolean("random_background", False, "")
+    flags.DEFINE_float("resolution_scale", 2, "")
+
+
 def define_flag_once(kind: str, name: str, default, help_str: str):
     """Define a flag unless it already exists (render/export/reanimate share
     some flag names and may be imported together)."""

@@ -162,11 +162,17 @@ class VidDataset:
         return {k: np.stack([d0[k], d1[k]]) for k in d0}
 
     def read_raw(self, idx: int, delta: int, rand_xy=None) -> Dict[str, np.ndarray]:
+        flow = self._read_flow(idx, delta)
+        feat = self.mmap["feature"][idx]
+
+        if rand_xy is not None:
+            native_out = self._read_raw_native(idx, flow, feat, rand_xy)
+            if native_out is not None:
+                return native_out
+
         rgb = np.asarray(self.mmap["rgb"][idx], np.float32)
         mask_all = np.asarray(self.mmap["mask"][idx], np.float32)
         depth = np.asarray(self.mmap["depth"][idx], np.float32)
-        flow = self._read_flow(idx, delta)
-        feat = self.mmap["feature"][idx]
 
         if rand_xy is None:
             x0, y0 = np.meshgrid(range(self.img_size[1]), range(self.img_size[0]))
@@ -195,6 +201,62 @@ class VidDataset:
             "depth": sel(depth[..., None]).astype(np.float32),
             "flow": sel(flow[..., :2]).astype(np.float32),
             "flow_uct": sel(flow[..., 2:3]).astype(np.float32),
+            "feature": feat_sel.astype(np.float32),
+            "crop2raw": self.crop2raw[idx],
+            "is_detected": np.float32(self.is_detected[idx]),
+            "dataid": np.int32(self.dataid),
+            "frameid_sub": np.int32(idx),
+            "hxy": hxy.astype(np.float32),
+        }
+
+    def _read_raw_native(self, idx, flow, feat, rand_xy):
+        """Pixel-sampled read via the native threaded gather
+        (csrc/batch_sampler.cpp). Gathers straight from the f16 mmaps so
+        only the touched pages are read and no full-frame f16->f32 convert
+        happens. Measured vs the numpy gather (stage-2 shapes, 64x256^2
+        f16 video): 132 us vs 259 us per 512x16-px batch, 0.9 ms vs 4.0 ms
+        per full-image pair (scripts in /tmp r2; numbers on the build host).
+        Returns None when the native library is unavailable (numpy path
+        runs instead); disable with VIDU4D_NATIVE_SAMPLER=0."""
+        import os as _os
+
+        if _os.environ.get("VIDU4D_NATIVE_SAMPLER", "1") == "0":
+            return None
+        from vidu4d_tpu.data import native
+
+        if native.load_library() is None:
+            return None
+
+        zero = np.zeros(1, np.int32)
+        xyb = np.ascontiguousarray(rand_xy, np.int32)[None]
+
+        def g(a):
+            if a.ndim == 2:
+                a = a[..., None]
+            if not a.flags.c_contiguous or a.dtype not in (
+                np.float16, np.float32
+            ):
+                a = np.ascontiguousarray(a, np.float32)
+            return native.gather_pixels(a[None], zero, xyb)[0]
+
+        rgb = g(self.mmap["rgb"][idx])
+        if rgb.shape[-1] == 1:
+            rgb = np.repeat(rgb, 3, -1)
+        mask_all = g(self.mmap["mask"][idx])
+        depth = g(self.mmap["depth"][idx])
+        flow_s = g(flow)
+        hxy = np.concatenate([rand_xy, np.ones_like(rand_xy[:, :1])], -1)
+        feat_sel = bilinear_interp(
+            np.asarray(feat, np.float32),
+            rand_xy / self.img_size[0] * feat.shape[0],
+        )
+        return {
+            "rgb": rgb,
+            "mask": mask_all[..., 0:1],
+            "vis2d": mask_all[..., 1:2],
+            "depth": depth,
+            "flow": flow_s[..., :2],
+            "flow_uct": flow_s[..., 2:3],
             "feature": feat_sel.astype(np.float32),
             "crop2raw": self.crop2raw[idx],
             "is_detected": np.float32(self.is_detected[idx]),

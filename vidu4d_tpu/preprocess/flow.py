@@ -118,8 +118,39 @@ def occlusion_from_cycle(flow_fw: jax.Array, flow_bw: jax.Array,
     return (dis > thresh_px).astype(jnp.float32)
 
 
+_RAFT_STATE = {"tried": False, "model": None, "params": None}
+
+
+def _raft_backend():
+    """The learned RAFT-small backend when trained weights exist
+    (`vidu4d_tpu/weights/raft_small_synthetic.npz` or $VIDU4D_RAFT_NPZ),
+    else None. Disable explicitly with VIDU4D_FLOW_BACKEND=lk."""
+    import os
+
+    if os.environ.get("VIDU4D_FLOW_BACKEND", "") == "lk":
+        return None
+    if not _RAFT_STATE["tried"]:
+        _RAFT_STATE["tried"] = True
+        try:
+            from vidu4d_tpu.preprocess.raft import RaftSmall, load_weights
+
+            params = load_weights()
+            if params is not None:
+                _RAFT_STATE["model"] = RaftSmall()
+                _RAFT_STATE["params"] = params
+        except Exception:
+            pass
+    if _RAFT_STATE["model"] is None:
+        return None
+    return _RAFT_STATE["model"], _RAFT_STATE["params"]
+
+
 def compute_flow_pairs(frames: jax.Array, delta: int, levels: int = 4):
     """Flow for all (t, t+delta) pairs of a video.
+
+    Uses the in-repo-trained RAFT-small when its weights are present (the
+    learned replacement for the reference's VCN+, `compute_flow.py:36-169`),
+    else the pyramidal-LK fallback.
 
     Args:
         frames: (T, H, W, 3) in [0, 1].
@@ -132,8 +163,14 @@ def compute_flow_pairs(frames: jax.Array, delta: int, levels: int = 4):
     f0 = frames[:n]
     f1 = frames[delta : delta + n]
 
-    fw = jax.vmap(lambda a, b: lk_flow(a, b, levels=levels))(f0, f1)
-    bw = jax.vmap(lambda a, b: lk_flow(a, b, levels=levels))(f1, f0)
+    raft = _raft_backend()
+    if raft is not None and frames.shape[1] % 8 == 0 and frames.shape[2] % 8 == 0:
+        model, params = raft
+        fw = model.apply(params, f0, f1)
+        bw = model.apply(params, f1, f0)
+    else:
+        fw = jax.vmap(lambda a, b: lk_flow(a, b, levels=levels))(f0, f1)
+        bw = jax.vmap(lambda a, b: lk_flow(a, b, levels=levels))(f1, f0)
     occ_fw = jax.vmap(occlusion_from_cycle)(fw, bw)
     occ_bw = jax.vmap(occlusion_from_cycle)(bw, fw)
     flow_fw = jnp.concatenate([fw, occ_fw[..., None]], axis=-1)
