@@ -220,3 +220,61 @@ def test_pallas_batched_frames_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
         )
+
+
+@pytest.mark.slow
+def test_pallas_backward_deep_chains_interpret():
+    """Regression (r2): deep per-pixel compositing chains crossing many
+    CHUNK boundaries. The forward carry used to reset the transmittance
+    chain to the last-included T, letting the include mask "resurrect"
+    across chunks; the backward's division-based reconstruction then
+    inflated t_before exponentially (~1e18 gradients at 50k splats).
+    Parity vs the XLA path with an untruncated budget pins both the
+    include semantics and the reconstruction."""
+    import jax
+
+    from vidu4d_tpu.ops.rasterize.pallas_backward import rasterize_pallas_grad
+
+    rng = np.random.default_rng(99)
+    n = 1500  # ~1500 entries in a handful of tiles -> chains span 5+ chunks
+    means = np.zeros((n, 3), np.float32)
+    means[:, :2] = rng.normal(0, 0.15, size=(n, 2))
+    means[:, 2] = 2.0 + rng.uniform(0, 1.0, size=n)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    scales = np.full((n, 2), 0.04, np.float32)
+    opac = rng.uniform(0.02, 0.35, size=(n,)).astype(np.float32)  # deep chains
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    viewmat = jnp.eye(4)
+    intrins = jnp.asarray([40.0, 40.0, 16.0, 16.0])
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    H = W = 32
+    args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+
+    def make_loss(raster):
+        def loss(means, quats, scales, opac, colors):
+            proj = project_splats(means, quats, scales, viewmat, intrins)
+            out = raster(proj, colors, opac)
+            return (
+                jnp.mean(jnp.abs(out.color)) + 0.2 * jnp.mean(out.alpha)
+                + 1e-3 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+            )
+        return loss
+
+    loss_xla = make_loss(
+        lambda p, c, o: rasterize_tiles_from_projection(
+            p, c, o, bg, H, W, tile=16, span_cap=4, budget=2048, tile_chunk=2
+        )
+    )
+    loss_pal = make_loss(
+        lambda p, c, o: rasterize_pallas_grad(
+            p, c, o, bg, H, W, tile=16, span_cap=4, interpret=True
+        )
+    )
+    v1, g1 = jax.value_and_grad(loss_xla, argnums=(0, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_pal, argnums=(0, 3))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means", "opac"]):
+        a, b = np.asarray(a), np.asarray(b)
+        # the old bug inflated grads by orders of magnitude; pin tight parity
+        np.testing.assert_allclose(a, b, atol=5e-6, rtol=1e-3, err_msg=name)

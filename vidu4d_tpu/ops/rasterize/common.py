@@ -131,6 +131,16 @@ def project_splats(
     radius = jnp.ceil(3.0 * jnp.maximum(jnp.max(extent2d, axis=-1), FILTER_SIZE))
 
     valid = (p_view[:, 2] > NEAR_PLANE) & (jnp.abs(d[:, 0]) >= 1e-12) & (cos[:, 0] != 0)
+    # near-degenerate conics (|d| barely above the cull) produce inf/NaN
+    # centers and extents, which select the inf*0=NaN branch inside the
+    # compositing gradients even at zero weight — cull them outright
+    finite = (
+        jnp.isfinite(center2d).all(axis=-1)
+        & jnp.isfinite(extent2d).all(axis=-1)
+        & (jnp.abs(center2d) < 1e7).all(axis=-1)
+        & (extent2d < 1e7).all(axis=-1)
+    )
+    valid = valid & finite
     if mask is not None:
         valid = valid & mask
 

@@ -57,8 +57,13 @@ def splat_pixel_response(
     pz = p[..., 2]
     pz_ok = pz != 0.0
     pz_safe = jnp.where(pz_ok, pz, 1.0)
-    sx = p[..., 0] / pz_safe
-    sy = p[..., 1] / pz_safe
+    # clip the splat-space intersection: near-degenerate conics send sx/sy
+    # to inf, and although such entries composite with zero weight, the
+    # inf*0 products in the autodiff VJPs are NaN. Contributing splats have
+    # rho3d <= 2·ln(255) (the alpha cull), i.e. |s| < 4 — the clamp is
+    # value-preserving for everything visible and zeroes gradients beyond.
+    sx = jnp.clip(p[..., 0] / pz_safe, -1e6, 1e6)
+    sy = jnp.clip(p[..., 1] / pz_safe, -1e6, 1e6)
     rho3d = sx * sx + sy * sy
     # screen-space low-pass filter (forward.cu:374-382)
     dx = center2d[..., 0] - px[..., 0]
@@ -72,7 +77,8 @@ def splat_pixel_response(
     )
     alpha = jnp.minimum(ALPHA_CLAMP, opacity * jnp.exp(-0.5 * rho))
     ok = pz_ok & (depth >= NEAR_PLANE) & (alpha >= ALPHA_EPS)
-    return jnp.where(ok, alpha, 0.0), depth
+    # zero-weight entries must not leak non-finite depths into w*depth sums
+    return jnp.where(ok, alpha, 0.0), jnp.where(ok, depth, 0.0)
 
 
 class CompositeOutput(NamedTuple):

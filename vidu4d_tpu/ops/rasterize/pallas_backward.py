@@ -198,6 +198,9 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 & (rank < n_contrib)
             )
             alpha = jnp.where(ok, alpha, 0.0)
+            # sanitize quantities whose inf/NaN values would leak through
+            # 0-weight products (mirrors the forward's depth gating)
+            depth = jnp.where(ok, depth, 0.0)
 
             om = 1.0 - alpha
             # T before entry i = t_after / prod_{j >= i in chunk}(1 - a_j)
@@ -250,12 +253,17 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             g_depth = jnp.where(ok, w * g_d + g_m * dmdd, 0.0)
 
             # rho3d branch: rho3d = sx^2 + sy^2 ; depth3d = sx twx + sy twy + twz
-            g_sx = jnp.where(use3d, 2.0 * sx * g_rho + row(_TW) * g_depth, 0.0)
-            g_sy = jnp.where(use3d, 2.0 * sy * g_rho + row(_TW + 1) * g_depth, 0.0)
+            # sx/sy can be inf for near-degenerate conics; their cotangents
+            # are exactly zero there (ok=False zeroes g_rho/g_depth) but
+            # inf*0=NaN, so gate the values too
+            sx_g = jnp.where(ok, sx, 0.0)
+            sy_g = jnp.where(ok, sy, 0.0)
+            g_sx = jnp.where(use3d, 2.0 * sx_g * g_rho + row(_TW) * g_depth, 0.0)
+            g_sy = jnp.where(use3d, 2.0 * sy_g * g_rho + row(_TW + 1) * g_depth, 0.0)
             # s = p.xy / p.z
             g_px = g_sx / pz_safe
             g_py = g_sy / pz_safe
-            g_pz = -(g_sx * sx + g_sy * sy) / pz_safe
+            g_pz = -(g_sx * sx_g + g_sy * sy_g) / pz_safe
             # p = cross(k, l)
             g_kx = ly * g_pz - lz * g_py
             g_ky = lz * g_px - lx * g_pz
@@ -270,8 +278,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             g_tw1 = pxf * g_ky + pyf * g_ly
             g_tw2 = pxf * g_kz + pyf * g_lz
             # depth contributions to Tw (3d branch: s·(twx,twy)+twz; 2d: twz)
-            g_tw0 = g_tw0 + jnp.where(use3d, sx * g_depth, 0.0)
-            g_tw1 = g_tw1 + jnp.where(use3d, sy * g_depth, 0.0)
+            g_tw0 = g_tw0 + jnp.where(use3d, sx_g * g_depth, 0.0)
+            g_tw1 = g_tw1 + jnp.where(use3d, sy_g * g_depth, 0.0)
             g_tw2 = g_tw2 + g_depth
 
             # rho2d branch: center2d gradients

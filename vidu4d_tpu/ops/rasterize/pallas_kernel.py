@@ -120,7 +120,16 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
 
         zeros = jnp.zeros((px_n, 1), jnp.float32)
         carry0 = (
-            jnp.ones((px_n, 1), jnp.float32),  # T
+            # TWO transmittance carries (they differ once the include
+            # cutoff fires): t_c is the FULL product over every composited
+            # alpha (the cumprod of the XLA path — monotone, so the include
+            # mask can never "resurrect" in a later chunk), while t_last is
+            # the T after the LAST INCLUDED entry (the reference's final_T,
+            # used for the alpha output / bg composite / backward chain).
+            # Carrying only the latter inflated the backward's
+            # division-based reconstruction exponentially on deep chains
+            # (~1e18 gradients at 50k splats).
+            jnp.ones((px_n, 1), jnp.float32),  # t_c: full-product chain
             zeros, zeros, zeros,  # color r, g, b
             zeros,  # expected depth
             zeros, zeros, zeros,  # normal x, y, z
@@ -128,6 +137,7 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             zeros,  # distortion
             zeros, zeros,  # med_depth, med_w
             zeros,  # n_contrib (last composited rank + 1)
+            jnp.ones((px_n, 1), jnp.float32),  # t_last: T after last included
             (zeros,) * n_extra,  # extra composited channels
         )
 
@@ -141,7 +151,8 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
         def body(state):
             c, _, carry = state
             (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-             dist1, dist2, distort, med_d, med_w, ncon, extras) = carry
+             dist1, dist2, distort, med_d, med_w, ncon, t_last,
+             extras) = carry
 
             slot = jax.lax.rem(c, 2)
             # prefetch the next chunk into the other buffer; its DMA rides
@@ -190,6 +201,9 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
                 & (alpha >= common.ALPHA_EPS) & valid_k
             )
             alpha = jnp.where(ok, alpha, 0.0)  # (px_n, CHUNK)
+            # w is 0 where ~ok, but 0 * inf/NaN (degenerate-conic depths)
+            # would still poison the accumulators
+            depth = jnp.where(ok, depth, 0.0)
 
             om = 1.0 - alpha
             cp_incl = _prefix_mul_lanes(om)
@@ -236,10 +250,15 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             med_d2 = jnp.where(has, lsum(jnp.where(sel, depth, 0.0)), med_d)
             med_w2 = jnp.where(has, lsum(jnp.where(sel, w, 0.0)), med_w)
 
-            # T after the chunk = t_incl at the last included entry
-            # (t_incl is non-increasing along lanes)
-            t_c2 = jnp.min(
-                jnp.where(include, t_incl, jnp.broadcast_to(t_c, t_incl.shape)),
+            # chain carry: FULL product over the chunk's composited alphas
+            # (matches the XLA path's cumprod; keeps `include` monotone
+            # across chunk boundaries)
+            t_c2 = t_c * cp_incl[:, CHUNK - 1:CHUNK]
+            # output carry: T after the last INCLUDED entry (reference
+            # final_T; t_incl is non-increasing along lanes)
+            t_last2 = jnp.min(
+                jnp.where(include, t_incl,
+                          jnp.broadcast_to(t_last, t_incl.shape)),
                 axis=1, keepdims=True,
             )
             # contributor count residual for the backward kernel
@@ -250,29 +269,30 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             )
             carry2 = (t_c2, cr2, cg2, cb2, d2_, nx2, ny2, nz2,
                       dist1_2, dist2_2, distort2, med_d2, med_w2, ncon2,
-                      extras2)
+                      t_last2, extras2)
             return (c + 1, jnp.max(t_c2), carry2)
 
         _, _, carry_out = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.float32(1.0), carry0)
         )
         (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-         dist1, dist2, distort, med_d, med_w, ncon, extras) = carry_out
+         dist1, dist2, distort, med_d, med_w, ncon, t_last,
+         extras) = carry_out
 
-        color_ref[0, :, 0] = (cr + t_c * bg_ref[0, 0])[:, 0]
-        color_ref[0, :, 1] = (cg + t_c * bg_ref[0, 1])[:, 0]
-        color_ref[0, :, 2] = (cb + t_c * bg_ref[0, 2])[:, 0]
+        color_ref[0, :, 0] = (cr + t_last * bg_ref[0, 0])[:, 0]
+        color_ref[0, :, 1] = (cg + t_last * bg_ref[0, 1])[:, 0]
+        color_ref[0, :, 2] = (cb + t_last * bg_ref[0, 2])[:, 0]
         for e, ex in enumerate(extras):
-            color_ref[0, :, 3 + e] = (ex + t_c * bg_ref[0, 3 + e])[:, 0]
+            color_ref[0, :, 3 + e] = (ex + t_last * bg_ref[0, 3 + e])[:, 0]
         aux_ref[0, :, 0] = d_acc[:, 0]
-        aux_ref[0, :, 1] = (1.0 - t_c)[:, 0]
+        aux_ref[0, :, 1] = (1.0 - t_last)[:, 0]
         aux_ref[0, :, 2] = nx[:, 0]
         aux_ref[0, :, 3] = ny[:, 0]
         aux_ref[0, :, 4] = nz[:, 0]
         aux_ref[0, :, 5] = med_d[:, 0]
         aux_ref[0, :, 6] = distort[:, 0]
         aux_ref[0, :, 7] = med_w[:, 0]
-        aux_ref[0, :, 8] = t_c[:, 0]
+        aux_ref[0, :, 8] = t_last[:, 0]
         aux_ref[0, :, 9] = ncon[:, 0]
         aux_ref[0, :, 10] = dist1[:, 0]  # S1 = sum w·m (bwd residual)
         aux_ref[0, :, 11] = dist2[:, 0]  # S2 = sum w·m²
