@@ -148,6 +148,11 @@ def run_bench(args) -> dict:
 
         if not np.isfinite(total):
             raise RuntimeError(f"non-finite loss {total}")
+        gnorm = float(metrics.get("gnorm", 0.0))
+        if not np.isfinite(gnorm):
+            # finite losses with NaN grads was exactly the r1->r2 bug class;
+            # never report a throughput number for a step that can't train
+            raise RuntimeError(f"non-finite grad norm {gnorm}")
 
         splats_per_sec = args.surfels * args.frames / dt
         detail = {
@@ -157,6 +162,7 @@ def run_bench(args) -> dict:
             "frames": args.frames,
             "impl": args.impl,
             "loss": round(total, 4),
+            "gnorm": round(gnorm, 4),
             "device": str(jax.devices()[0]),
         }
         if flops:
