@@ -74,10 +74,15 @@ def build_trainer(surfels: int, res: int, frames: int, impl: str,
     trainer = Stage3Trainer(opts)
 
     # converged-scene surfel cloud: object-shaped ellipsoid filling ~half the
-    # frame at the fake-db camera (z=3, fx=res), knn-based scales ≈1-2 px.
+    # frame. The fake-db camera prior sits at z=3 and get_samples scales
+    # field translations by exp(logscale)=0.1, so the camera is 0.3 field
+    # units away: a ~0.08-radius cloud subtends ~130 px at fx=res=256 and
+    # stays in front of the 0.2 near plane. (A 0.5-radius cloud swallowed
+    # the camera — 99.98% of tile entries landed in ONE tile and the
+    # per-tile kernel serialized; r2 probe.)
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(surfels, 3)).astype(np.float32)
-    pts *= np.array([0.45, 0.6, 0.45], np.float32)
+    pts *= np.array([0.03, 0.04, 0.03], np.float32)
     cols = rng.uniform(size=(surfels, 3)).astype(np.float32)
     feats = rng.normal(size=(surfels, 16)).astype(np.float32)
     feats /= np.linalg.norm(feats, axis=-1, keepdims=True)

@@ -130,9 +130,12 @@ class GaussianConfig:
     flags.DEFINE_integer("raster_tile", 16, "raster tile size")
     flags.DEFINE_integer("raster_span_cap", 4, "per-splat tile-span cap")
     flags.DEFINE_integer("raster_budget", 1024, "XLA-tiles entry budget")
-    flags.DEFINE_integer("raster_tile_chunk", 16, "tiles per lax.map step (16 measured fastest on v5e)")
-    flags.DEFINE_string("raster_impl", "tiles",
-                        "tiles | naive | pallas_grad (fused TPU kernels)")
+    flags.DEFINE_integer("raster_tile_chunk", 16, "tiles per lax.map step (XLA backend)")
+    flags.DEFINE_string("raster_impl", "",
+                        "tiles | naive | pallas_grad; empty = auto "
+                        "(fused Pallas kernels on single-chip TPU - measured "
+                        "3.5x faster than tiles at 200k/256^2 with true host-"
+                        "fetch timing; tiles on CPU and under a mesh)")
 
 
 class ReferenceCompatConfig:

@@ -214,7 +214,7 @@ class Stage3Trainer:
             default_impl = "tiles"
         else:
             default_impl = "pallas_grad"
-        impl = opts.get("raster_impl", default_impl)
+        impl = opts.get("raster_impl") or default_impl
         if self.mesh is not None and impl.startswith("pallas"):
             print("[mesh active: forcing raster_impl=tiles (GSPMD-shardable)]")
             impl = "tiles"

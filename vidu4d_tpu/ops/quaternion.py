@@ -252,16 +252,24 @@ def dual_quaternion_skinning(
     pts_flat = pts.reshape(M, -1, 3)
     skin_flat = skin.reshape(M, -1, B)
 
-    # hemisphere alignment against the anchor (argmax-weight) bone
-    anchor = jnp.argmax(skin_flat, axis=-1)  # (M, N)
-    qr_anchor = jnp.take_along_axis(
-        qr_bones[:, None, :, :],
-        anchor[..., None, None].repeat(4, axis=-1),
-        axis=2,
-    )  # (M, N, 1, 4)
-    sign = jnp.where(
-        jnp.sum(qr_anchor * qr_bones[:, None], axis=-1) > 0, 1.0, -1.0
-    )  # (M, N, B)
+    # hemisphere alignment against the anchor (argmax-weight) bone. The
+    # sign is piecewise-constant (zero gradient a.e.), so the whole branch
+    # is stop_gradient'ed: without it, autodiff materializes the anchor
+    # gather's VJP — a scatter-add of N per-point cotangents into the tiny
+    # (B, 4) bone array, which TPU serializes on index collisions (measured
+    # 900 ms of the 930 ms warp backward at 200k points). The gather itself
+    # is a one-hot matmul so the forward rides the MXU too.
+    def _sign(skin_flat, qr_bones):
+        anchor = jnp.argmax(skin_flat, axis=-1)  # (M, N)
+        onehot = jax.nn.one_hot(anchor, B, dtype=qr_bones.dtype)
+        qr_anchor = jnp.einsum("mnb,mbd->mnd", onehot, qr_bones)  # (M, N, 4)
+        return jnp.where(
+            jnp.einsum("mnd,mbd->mnb", qr_anchor, qr_bones) > 0, 1.0, -1.0
+        )  # (M, N, B)
+
+    sign = _sign(
+        jax.lax.stop_gradient(skin_flat), jax.lax.stop_gradient(qr_bones)
+    )
 
     # blended = einsum(skin, sign * q); fold the sign into the weights so the
     # whole blend is two (N, B) x (B, 4) matmuls that XLA maps onto the MXU.
