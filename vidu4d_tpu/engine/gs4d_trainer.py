@@ -338,17 +338,27 @@ class Stage3Trainer:
             intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
             bg = deformer.apply(dparams, method=deformer.background)
 
+            # cycle loss first: its backward warp of xyz_cam is shared with
+            # flow_surfels below (identical computation — one warp+grad
+            # saved per step)
+            cyc = None
+            use_flow = cfg["flow_wt"] > 0 and "flow" in batch
+            if use_flow or not cfg["rgb_loss_only"]:
+                cyc = deformer.apply(
+                    dparams, xyz_cam, xyz, samples, method=deformer.cycle_loss
+                )
+
             # per-surfel pair flow composited as 2 extra channels
             # (`deformable_gaussian.py:817-899`; the reference sets
             # concated_feat=None at :1183 so its flow channels render empty
             # and the loss dies in a silent try/except at `model.py:697-702`
             # — here the supervision is actually wired up).
-            use_flow = cfg["flow_wt"] > 0 and "flow" in batch
             extra = None
             flow_scale = 1.0
             if use_flow:
                 flow_pw = deformer.apply(
-                    dparams, xyz_cam, samples, method=deformer.flow_surfels
+                    dparams, xyz_cam, samples, cyc["xyz_cycled"],
+                    method=deformer.flow_surfels,
                 )  # (M, P, 2)
                 # normalize to ~[-1,1] before alpha compositing
                 # (`deformable_gaussian.py:1177-1179`); the scale is data, not
@@ -435,10 +445,8 @@ class Stage3Trainer:
                         losses_mod.nonzero_mean(reproj * maskfg) / cfg["train_res"]
                     )
 
-                # cycle + skin regs (`compute_reg_loss`, model.py:856-866)
-                cyc = deformer.apply(
-                    dparams, xyz_cam, xyz, samples, method=deformer.cycle_loss
-                )
+                # cycle + skin regs (`compute_reg_loss`, model.py:856-866);
+                # cyc computed above (shared with the flow path)
                 loss_dict["reg_deform_cyc"] = losses_mod.nonzero_mean(cyc["cyc_dist"])
                 if "delta_skin" in cyc:
                     loss_dict["reg_delta_skin"] = losses_mod.nonzero_mean(cyc["delta_skin"])
@@ -491,7 +499,9 @@ class Stage3Trainer:
                     loss_dict[k] = loss_dict[k] * cfg.get(wt_key, 1.0)
 
             total = sum(jax.tree.leaves(loss_dict))
-            return total, (loss_dict, out)
+            # warp outputs reused by the densify-stat pass (saves a re-warp)
+            warped = jax.lax.stop_gradient((xyz_cam, rot_cam, intrins))
+            return total, (loss_dict, out, warped)
 
         import functools
 
@@ -503,19 +513,14 @@ class Stage3Trainer:
             dummy = jnp.zeros(
                 (batch["frameid"].shape[0], surfels.capacity, 2), jnp.float32
             )
-            (total, (loss_dict, out)), grads = jax.value_and_grad(
+            (total, (loss_dict, out, warped)), grads = jax.value_and_grad(
                 make_loss_fn(use_2dgs_reg), argnums=(0, 1, 2), has_aux=True
             )(dparams, surfels.params, dummy, surfels.alive, batch, weights)
             dgrads, sgrads, dummy_grad = grads
 
             # densification stats from PRE-update params (`trainer.py:554-560`)
-            samples = deformer.apply(dparams, batch, method=deformer.get_samples)
-            xyz = surfels.params.xyz
-            rot = sf.get_rotation(surfels.params)
-            xyz_cam, rot_cam, _ = deformer.apply(
-                dparams, xyz, rot, samples, method=deformer.warp_surfels
-            )
-            intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
+            # — the warp outputs come from the loss forward (no re-warp)
+            xyz_cam, rot_cam, intrins = warped
             scaling = sf.get_scaling(surfels.params)
             eye = jnp.eye(4)
 

@@ -162,24 +162,34 @@ class GaussianDeformer(nn.Module):
         cyc_dist = safe_norm(
             xyz_cycled - xyz_canonical[None], axis=-1, keepdims=True
         )
-        out = {"cyc_dist": cyc_dist}
+        out = {"cyc_dist": cyc_dist, "xyz_cycled": xyz_cycled}
         out.update({k: v[:, :, 0] for k, v in warp_aux.items()})
         return out
 
-    def flow_surfels(self, xyz_cam_t, samples: Dict):
+    def flow_surfels(self, xyz_cam_t, samples: Dict,
+                     xyz_cano: Optional[jax.Array] = None):
         """Point-wise flow by projecting warped surfels under the pair-flipped
-        camera (`deformable_gaussian.py:817-899`). Returns (M, P, 2)."""
+        camera (`deformable_gaussian.py:817-899`). Returns (M, P, 2).
+
+        xyz_cano: optional precomputed backward-warp of xyz_cam_t (exactly
+        cycle_loss's "xyz_cycled" intermediate) — passing it shares that warp
+        evaluation instead of recomputing it."""
         from vidu4d_tpu.models.fields.dyn_nerf import flip_pair
 
-        q_f, t_f = samples["field2cam"]
-        q_i, t_i = quaternion_translation_inverse(q_f, t_f)
-        xyz_obj_t = quaternion_translation_apply(q_i[:, None], t_i[:, None], xyz_cam_t)
-        # canonicalize, then forward-warp under the flipped frame
-        (q_b, t_b), _ = self.warp(
-            xyz_obj_t[:, :, None], samples["frame_id"], samples["inst_id"],
-            backward=True, samples_dict=samples, return_qt=True,
-        )
-        xyz_cano = quaternion_translation_apply(q_b[:, :, 0], t_b[:, :, 0], xyz_obj_t)
+        if xyz_cano is None:
+            q_f, t_f = samples["field2cam"]
+            q_i, t_i = quaternion_translation_inverse(q_f, t_f)
+            xyz_obj_t = quaternion_translation_apply(
+                q_i[:, None], t_i[:, None], xyz_cam_t
+            )
+            # canonicalize, then forward-warp under the flipped frame
+            (q_b, t_b), _ = self.warp(
+                xyz_obj_t[:, :, None], samples["frame_id"], samples["inst_id"],
+                backward=True, samples_dict=samples, return_qt=True,
+            )
+            xyz_cano = quaternion_translation_apply(
+                q_b[:, :, 0], t_b[:, :, 0], xyz_obj_t
+            )
 
         samples_next = dict(samples)
         samples_next["frame_id"] = flip_pair(samples["frame_id"])
