@@ -97,3 +97,35 @@ def test_skeleton_articulation_and_warp():
     assert "skin_entropy" in aux
     back, _ = warp.apply(wparams, fwd, fid, iid, backward=True)
     np.testing.assert_allclose(np.asarray(back), np.asarray(xyz), atol=0.05)
+
+
+def test_get_bone_coords_matches_dq_apply():
+    """Einsum bone-coord form == per-point dual-quaternion apply (r2 perf
+    rewrite; `transforms.py:9-25` semantics)."""
+    import jax.numpy as jnp
+
+    from vidu4d_tpu.models.fields.skinning import get_bone_coords
+    from vidu4d_tpu.ops.quaternion import (
+        dual_quaternion_apply,
+        dual_quaternion_inverse,
+        quaternion_translation_to_dual_quaternion,
+    )
+
+    rng = np.random.default_rng(5)
+    m, n, d, b = 2, 17, 3, 6
+    q = rng.normal(size=(m, 1, 1, b, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = rng.normal(size=(m, 1, 1, b, 3)).astype(np.float32)
+    bone2obj = quaternion_translation_to_dual_quaternion(
+        jnp.asarray(q), jnp.asarray(t)
+    )
+    xyz = jnp.asarray(rng.normal(size=(m, n, d, 3)).astype(np.float32))
+
+    got = get_bone_coords(xyz, bone2obj)
+
+    obj2bone = dual_quaternion_inverse(bone2obj)
+    xyz_e = jnp.broadcast_to(xyz[..., None, :], (m, n, d, b, 3))
+    want = dual_quaternion_apply(obj2bone, xyz_e)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )

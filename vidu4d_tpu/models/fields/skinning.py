@@ -27,14 +27,45 @@ from vidu4d_tpu.ops.quaternion import (
 def get_bone_coords(xyz: jax.Array, bone2obj: DualQuaternion) -> jax.Array:
     """Object-space points -> per-bone coordinates (`transforms.py:9-25`).
 
+    The whole DQ-inverse/apply chain is evaluated on the TINY per-bone
+    arrays (B rotations), then applied to the N points as ONE einsum:
+    x_bone = R_b x + t_b. Running the quaternion algebra per point-per-bone
+    instead (the naive port) builds ~60 elementwise ops over
+    (M, N, 1, B, ·) arrays whose autodiff dominated the whole Stage-3 step
+    (~300 ms at 2x200k points; the einsum form is MXU work and its VJP is
+    two more einsums).
+
     Args:
-        xyz: (..., 3); bone2obj: ((..., B, 4), (..., B, 4)).
+        xyz: (..., 3); bone2obj: ((..., B, 4), (..., B, 4)) — leading dims
+            broadcastable against xyz's.
     Returns:
         (..., B, 3)
     """
+    from vidu4d_tpu.ops.quaternion import quaternion_to_matrix
+
     obj2bone = dual_quaternion_inverse(bone2obj)
-    b = bone2obj[0].shape[-2]
-    xyz_e = jnp.broadcast_to(xyz[..., None, :], xyz.shape[:-1] + (b, 3))
+    q, t = dual_quaternion_to_quaternion_translation(obj2bone)  # (..., B, 4/3)
+    b = q.shape[-2]
+    lead_b = q.shape[:-2]
+    lead_x = xyz.shape[:-1]
+    if (
+        len(lead_b) >= 1
+        and lead_b[0] == lead_x[0]
+        and all(d == 1 for d in lead_b[1:])
+    ):
+        # bones are per-frame only (the skinning hot path): squeeze the
+        # broadcast dims so the einsum lowers to one thin (N,3)x(3,B*3)
+        # matmul per frame — ellipsis-broadcast einsums materialize the
+        # rotation matrices per POINT instead
+        m = lead_x[0]
+        rmat = quaternion_to_matrix(q.reshape(m, b, 4))  # (M, B, 3, 3)
+        xb = jnp.einsum(
+            "mbij,mnj->mnbi", rmat, xyz.reshape(m, -1, 3),
+            preferred_element_type=xyz.dtype,
+        ).reshape(lead_x + (b, 3))
+        return xb + t.reshape((m,) + (1,) * (len(lead_x) - 1) + (b, 3))
+    # general case (per-point bone transforms): quaternion apply
+    xyz_e = jnp.broadcast_to(xyz[..., None, :], lead_x + (b, 3))
     return dual_quaternion_apply(obj2bone, xyz_e)
 
 

@@ -213,13 +213,13 @@ class SkinningWarp(nn.Module):
             articulation = rest_articulation
             skin_frame_id = None  # rest pose -> mean time embedding
 
+        # keep the articulation at (M, 1, 1, B, 4) and let broadcasting do
+        # the rest: the DQ inverse inside get_bone_coords then runs on B
+        # bones instead of N*B broadcast copies (autodiff otherwise drags
+        # N-sized intermediates through the whole inverse chain)
         articulation = (
-            jnp.broadcast_to(
-                articulation[0][:, None, None], xyz.shape[:3] + articulation[0].shape[1:]
-            ),
-            jnp.broadcast_to(
-                articulation[1][:, None, None], xyz.shape[:3] + articulation[1].shape[1:]
-            ),
+            articulation[0][:, None, None],
+            articulation[1][:, None, None],
         )
         skin, delta_skin = self.skinning_model(
             xyz, articulation, skin_frame_id, inst_id
