@@ -135,12 +135,39 @@ def run_bench(args) -> dict:
         state_w, metrics = once(state_w)
         _ = float(metrics["total"])
 
+        # device-resident loop: lax.scan over the step so per-call dispatch
+        # overhead doesn't pollute the number (measured ~250 ms/call through
+        # the tunneled runtime for ~60-buffer signatures — the xplane trace
+        # showed the warp-grad executable itself at 20.8 ms vs 290 ms/call).
+        # This is also how the production trainer runs on TPU
+        # (iters_per_dispatch); per-dispatch timing is reported alongside.
+        import jax as _jax
+
+        def scan_body(st, _):
+            st2, m = once(st)
+            return st2, m["total"]
+
+        @_jax.jit
+        def run_scan(st):
+            st2, totals = _jax.lax.scan(
+                scan_body, st, None, length=args.iters
+            )
+            return st2, totals
+
+        st, totals = run_scan(state)  # compile
+        _ = float(totals[-1])
         t0 = time.perf_counter()
-        st = state
-        for _ in range(args.iters):
-            st, metrics = once(st)
-        total = float(metrics["total"])  # forces the chained computation
+        st, totals = run_scan(state)
+        _ = float(totals[-1])
         dt = (time.perf_counter() - t0) / args.iters
+
+        # single-dispatch timing for reference (includes runtime overhead)
+        t0 = time.perf_counter()
+        st1 = state
+        for _ in range(max(3, args.iters // 3)):
+            st1, metrics = once(st1)
+        total = float(metrics["total"])
+        dt_dispatch = (time.perf_counter() - t0) / max(3, args.iters // 3)
 
         flops = None
         try:
@@ -162,6 +189,7 @@ def run_bench(args) -> dict:
         splats_per_sec = args.surfels * args.frames / dt
         detail = {
             "step_ms": round(dt * 1000, 2),
+            "step_ms_per_dispatch": round(dt_dispatch * 1000, 2),
             "surfels": args.surfels,
             "res": args.res,
             "frames": args.frames,

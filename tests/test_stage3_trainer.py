@@ -56,3 +56,39 @@ def test_stage3_trainer_smoke(tmp_path):
         os.path.join(trainer.save_dir, "ckpt_latest.pth"), reset_steps=False
     )
     assert trainer.current_steps == 4
+
+
+@pytest.mark.slow
+def test_iters_per_dispatch_chunk_matches_per_step(tmp_path):
+    """k-iteration lax.scan chunks == per-step dispatch (r2: the device-
+    resident loop that amortizes remote-dispatch overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    from vidu4d_tpu.engine.gs4d_trainer import Stage3Trainer
+
+    def opts(k, name):
+        return {
+            "dataroot": db, "seqname": "toy", "logname": name,
+            "logroot": os.path.join(str(tmp_path), "logdir"),
+            "data_prefix": "crop", "train_res": 16, "pixels_per_image": -1,
+            "imgs_per_gpu": 1, "num_rounds": 1, "iters_per_round": 4,
+            "fg_motion": "gs-bob", "gs_capacity": 128, "gs_init_samples": 64,
+            "sh_degree": 1, "raster_budget": 64, "raster_tile_chunk": 1,
+            "densify_from_iter": 100, "outlier_filtering_interval": 1000,
+            "densification_interval": 2, "iters_per_dispatch": k, "seed": 0,
+        }
+
+    t1 = Stage3Trainer(opts(1, "chunk1"))
+    t2 = Stage3Trainer(opts(2, "chunk2"))
+    m1 = t1.train_one_round()
+    m2 = t2.train_one_round()
+    assert t1.current_steps == t2.current_steps == 4
+    np.testing.assert_allclose(
+        float(m1["total"]), float(m2["total"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(t1.surfels.params.xyz), np.asarray(t2.surfels.params.xyz),
+        atol=1e-5, rtol=1e-4,
+    )

@@ -609,34 +609,104 @@ class Stage3Trainer:
          self.warp_opt_state) = self._rollback_cache[0]
         return True
 
+    def _step_weights(self, cfg, step):
+        weights = progress_schedule({**cfg, "reg_eikonal_wt": 0.0}, step)
+        weights["lambda_normal"] = cfg["lambda_normal"] if step > 8000 else 0.0
+        weights["lambda_dist"] = cfg["lambda_dist"] if step > 8000 else 0.0
+        return weights
+
+    def _train_chunk(self, batches, weights_list, use_2dgs_reg):
+        """Run k iterations as ONE device-resident lax.scan dispatch.
+
+        Through the remote-dispatch runtime each step call pays a fixed
+        overhead that scales with the arg/output buffer count (~hundreds of
+        ms for the ~300-leaf trainer signature, vs ~20 ms of device compute
+        for the warp-grad executable — xplane-profiled r2); scanning the
+        step amortizes it and is the natural TPU-resident training loop."""
+        import functools
+
+        if not hasattr(self, "_chunk_fns"):
+            self._chunk_fns = {}
+        k = len(batches)
+        key = (k, use_2dgs_reg)
+        if key not in self._chunk_fns:
+            step = self._train_step
+
+            @functools.partial(jax.jit, static_argnames=("use_2dgs_reg",))
+            def run_chunk(params, surfels, gs_adam, warp_opt_state,
+                          batches, weights, use_2dgs_reg=False):
+                def body(carry, xs):
+                    p, s, a, w = carry
+                    b, wt = xs
+                    p, s, a, w, m = step(p, s, a, w, b, wt,
+                                         use_2dgs_reg=use_2dgs_reg)
+                    return (p, s, a, w), m
+
+                (p, s, a, w), ms = jax.lax.scan(
+                    body, (params, surfels, gs_adam, warp_opt_state),
+                    (batches, weights),
+                )
+                last = jax.tree.map(lambda x: x[-1], ms)
+                return p, s, a, w, last
+
+            self._chunk_fns[key] = run_chunk
+        stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        stacked_w = jax.tree.map(
+            lambda *xs: jnp.asarray(xs), *weights_list
+        )
+        return self._chunk_fns[key](
+            self.params, self.surfels, self.gs_adam, self.warp_opt_state,
+            stacked_b, stacked_w, use_2dgs_reg=use_2dgs_reg,
+        )
+
     def train_one_round(self, log_fn=None):
         opts = self.opts
         cfg = self._loss_config()
         rollback = opts.get("rollback_on_grad_spike", False)
-        for _ in range(opts.get("iters_per_round", 200)):
-            weights = progress_schedule({**cfg, "reg_eikonal_wt": 0.0}, self.current_steps)
-            weights["lambda_normal"] = (
-                cfg["lambda_normal"] if self.current_steps > 8000 else 0.0
-            )
-            weights["lambda_dist"] = (
-                cfg["lambda_dist"] if self.current_steps > 8000 else 0.0
-            )
-            batch = self._next_batch()
-            use_2dgs_reg = self.current_steps > 8000
-            self.params, self.surfels, self.gs_adam, self.warp_opt_state, metrics = (
-                self._train_step(
+        iters = opts.get("iters_per_round", 200)
+        k = int(opts.get("iters_per_dispatch", 1) or 1)
+        interval = opts.get("densification_interval", 100)
+        if k > 1 and (interval % k or rollback):
+            # cadence points must land on chunk boundaries; rollback needs
+            # per-iteration gnorm
+            k = 1
+        metrics = None
+
+        done = 0
+        while done < iters:
+            kk = min(k, iters - done)
+            if kk > 1:
+                batches = [self._next_batch() for _ in range(kk)]
+                weights_list = [
+                    self._step_weights(cfg, self.current_steps + i)
+                    for i in range(kk)
+                ]
+                use_2dgs_reg = self.current_steps > 8000
+                (self.params, self.surfels, self.gs_adam,
+                 self.warp_opt_state, metrics) = self._train_chunk(
+                    batches, weights_list, use_2dgs_reg
+                )
+                self.current_steps += kk
+                done += kk
+                self._densify_hooks()
+            else:
+                weights = self._step_weights(cfg, self.current_steps)
+                batch = self._next_batch()
+                use_2dgs_reg = self.current_steps > 8000
+                (self.params, self.surfels, self.gs_adam,
+                 self.warp_opt_state, metrics) = self._train_step(
                     self.params, self.surfels, self.gs_adam,
                     self.warp_opt_state, batch, weights,
                     use_2dgs_reg=use_2dgs_reg,
                 )
-            )
-            if rollback and self._maybe_rollback(metrics["gnorm"]):
-                continue
-            self.current_steps += 1
-            self._densify_hooks()
-            if log_fn is not None and self.current_steps % 100 == 0:
+                if rollback and self._maybe_rollback(metrics["gnorm"]):
+                    continue
+                self.current_steps += 1
+                done += 1
+                self._densify_hooks()
+            if log_fn is not None and self.current_steps % 100 < kk:
                 log_fn(self.current_steps,
-                       {k: float(v) for k, v in metrics.items()})
+                       {kk2: float(v) for kk2, v in metrics.items()})
         return metrics
 
     def _densify_hooks(self):

@@ -162,6 +162,12 @@ class SkinningField(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Returns (skin logits (M, N, D, B), delta or None)."""
         xyz_bone = get_bone_coords(xyz, bone2obj) / self.get_gauss()
+        # materialization boundary: without it XLA's fusion pass duplicates
+        # the whole per-point chain into EVERY parameter-cotangent reduce of
+        # the backward (measured: each param subtree's grad costs <=22 ms
+        # but the combined grad 290 ms with a ~9-minute compile; barriers
+        # make the chain compute once and cut the fusion search space)
+        xyz_bone = jax.lax.optimization_barrier(xyz_bone)
         dist2 = jnp.sum(xyz_bone**2, axis=-1)  # (M, N, D, B)
 
         if self.delta_skin:

@@ -224,6 +224,9 @@ class SkinningWarp(nn.Module):
         skin, delta_skin = self.skinning_model(
             xyz, articulation, skin_frame_id, inst_id
         )
+        # fusion boundary (see skinning.py): keep the logits materialized so
+        # the softmax/blend backward doesn't re-derive the skinning chain
+        skin = jax.lax.optimization_barrier(skin)
         skin_prob = jax.nn.softmax(skin, axis=-1)
 
         out = dual_quaternion_skinning(se3, xyz, skin_prob, return_qt=return_qt)
