@@ -34,6 +34,12 @@ def build_datasets(opts: Dict, rng: Optional[np.random.Generator] = None) -> Lis
     config_path = os.path.join(
         opts.get("dataroot", "database"), "configs", f"{opts['seqname']}.config"
     )
+    if rng is None:
+        # deterministic per (seed, host): trainer runs are reproducible and
+        # per-host pixel sampling decorrelates in multi-process runs
+        rng = np.random.default_rng(
+            opts.get("seed", 0) + 7919 * _process_index() + 1
+        )
     vids = load_sequence_config(config_path)
     prefix = f"{opts['data_prefix']}-{opts['train_res']}"
     datasets = []

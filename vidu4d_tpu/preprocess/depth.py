@@ -41,9 +41,55 @@ def depth_from_flow_parallax(frames: jax.Array, base_depth: float = 2.0,
     return depth
 
 
-def estimate_depth(frames: np.ndarray, backend: str = "flow_parallax") -> np.ndarray:
+def _depthnet_backend():
+    """The learned monodepth backend when trained weights exist
+    (`vidu4d_tpu/weights/depthnet_synthetic.npz` or $VIDU4D_DEPTHNET_NPZ);
+    None otherwise. Set VIDU4D_DEPTH_BACKEND=flow_parallax to opt out."""
+    import os
+
+    if os.environ.get("VIDU4D_DEPTH_BACKEND", "") == "flow_parallax":
+        return None
+    path = os.environ.get("VIDU4D_DEPTHNET_NPZ", "")
+    if not path:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(here, "weights", "depthnet_synthetic.npz")
+    if not os.path.exists(path):
+        return None
+    from vidu4d_tpu.preprocess.depthnet import DepthNet, load_weights
+
+    return DepthNet(), load_weights(path)
+
+
+def depth_from_net(frames: jax.Array, model, params) -> jax.Array:
+    """(T, H, W[, 3]) frames -> (T, H, W) depth via the learned U-Net.
+    Pads to a multiple of 16 (4 stride-2 stages), maps relative disparity
+    into the same [0.5, 4] range the flow-parallax prior uses."""
+    from vidu4d_tpu.preprocess.depthnet import disparity_to_depth
+
+    if frames.ndim == 3:
+        frames = jnp.repeat(frames[..., None], 3, axis=-1)
+    t, h, w = frames.shape[:3]
+    ph = (-h) % 16
+    pw = (-w) % 16
+    x = jnp.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    disp = jax.jit(model.apply)(params, x)[:, :h, :w]
+    return disparity_to_depth(disp)
+
+
+def estimate_depth(frames: np.ndarray, backend: str = "auto") -> np.ndarray:
     """(T, H, W) float16 depth maps in the reference contract
-    (`preprocess/scripts/depth.py` writes per-video stacked fp16 npy)."""
+    (`preprocess/scripts/depth.py` writes per-video stacked fp16 npy).
+
+    ``auto`` uses the in-repo-trained monodepth U-Net when its weights
+    exist (the ZoeDepth analog), else flow-parallax."""
+    if backend == "auto":
+        net = _depthnet_backend()
+        if net is not None:
+            model, params = net
+            return np.asarray(
+                depth_from_net(jnp.asarray(frames, jnp.float32), model, params)
+            ).astype(np.float16)
+        backend = "flow_parallax"
     if backend == "flow_parallax":
         return np.asarray(
             depth_from_flow_parallax(jnp.asarray(frames, jnp.float32))

@@ -137,7 +137,7 @@ def preprocess_video(
     delta_list=(1, 2, 4, 8),
     canonical_cams: Optional[Dict[int, np.ndarray]] = None,
     tsdf_grid: int = 96,
-    depth_backend: str = "flow_parallax",
+    depth_backend: str = "auto",
     depths: Optional[np.ndarray] = None,  # (T, H, W) external depth priors
 ) -> Dict[str, str]:
     """Run the full Stage-1 pipeline for one video. Returns written paths.
