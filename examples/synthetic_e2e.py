@@ -121,6 +121,7 @@ def main():
         "iters_per_round": args.s2_iters, "save_freq": args.s2_rounds,
         "fg_motion": "bob", "field_depth": 4, "field_width": 128,
         "train_depth_samples": 32, "rgb_timefree": True, "rgb_dirfree": True,
+        "iters_per_dispatch": 10,
     })
     s2.mlp_init(sdf_iters=300, verbose=True)
     s2.train()
@@ -142,6 +143,8 @@ def main():
         "densify_from_iter": 50, "densification_interval": 100,
         "opacity_reset_interval": 10_000, "outlier_filtering_interval": 10_000,
         "cameras_extent": 0.3,
+        # 10 iterations per device dispatch (divides the densify cadence)
+        "iters_per_dispatch": 10,
     })
     s3.load_stage2(os.path.join(s2.save_dir, "ckpt_latest.pth"))
     s3.train()

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+import jax
+
 from tests.helpers import make_fake_db
 
 
@@ -86,3 +88,35 @@ def test_grad_spike_rollback_logic():
     assert fake.params == "p1"
     assert mb(fake, 50.0) is True  # spike -> restore two rounds ago
     assert (fake.params, fake.opt_state) == ("p0", "o0")
+
+
+@pytest.mark.slow
+def test_stage2_iters_per_dispatch_matches(tmp_path):
+    """Stage-2 scan chunks == per-step dispatch (r2 device-resident loop)."""
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    from vidu4d_tpu.engine.trainer import Stage2Trainer
+
+    def opts(k, name):
+        return {
+            "dataroot": db, "seqname": "toy", "logname": name,
+            "logroot": os.path.join(str(tmp_path), "logdir"),
+            "data_prefix": "crop", "train_res": 16, "pixels_per_image": 8,
+            "imgs_per_gpu": 4, "num_rounds": 1, "iters_per_round": 4,
+            "fg_motion": "bob", "field_depth": 2, "field_width": 32,
+            "train_depth_samples": 8, "iters_per_dispatch": k, "seed": 0,
+        }
+
+    t1 = Stage2Trainer(opts(1, "c1"))
+    t2 = Stage2Trainer(opts(2, "c2"))
+    tot1 = t1.train_one_round()
+    tot2 = t2.train_one_round()
+    assert t1.current_steps == t2.current_steps == 4
+    # single-step totals agree to ~1e-6 relative (measured; the scanned and
+    # per-step executables differ only by XLA reassociation), but 4 chained
+    # optimizer steps amplify that through the nonlinear loss to ~3e-3
+    np.testing.assert_allclose(tot1, tot2, rtol=2e-2)
+    l1 = jax.tree.leaves(t1.params)
+    l2 = jax.tree.leaves(t2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=2e-2)

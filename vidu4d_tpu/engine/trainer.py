@@ -391,24 +391,75 @@ class Stage2Trainer:
         self.params, self.opt_state = self._rollback_cache[0]
         return True
 
+    def _train_chunk(self, batches, weights_list, rngs):
+        """k iterations as one device-resident lax.scan dispatch (the
+        Stage-3 trainer's iters_per_dispatch, same rationale)."""
+        if not hasattr(self, "_chunk_fn"):
+            step = self._train_step
+
+            @jax.jit
+            def run_chunk(params, opt_state, states, batches, weights, rngs):
+                def body(carry, xs):
+                    p, o = carry
+                    b, w, r = xs
+                    p, o, total, loss_dict, gnorm = step(p, o, states, b, w, r)
+                    return (p, o), (total, loss_dict, gnorm)
+
+                (p, o), (totals, lds, gnorms) = jax.lax.scan(
+                    body, (params, opt_state), (batches, weights, rngs)
+                )
+                last_ld = jax.tree.map(lambda x: x[-1], lds)
+                return p, o, totals[-1], last_ld, gnorms[-1]
+
+            self._chunk_fn = run_chunk
+        stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        stacked_w = jax.tree.map(lambda *xs: jnp.asarray(xs), *weights_list)
+        return self._chunk_fn(
+            self.params, self.opt_state, self.states, stacked_b, stacked_w,
+            jnp.stack(rngs),
+        )
+
     def train_one_round(self, log_fn=None):
         opts = self.opts
         cfg = self._loss_config()
         rollback = opts.get("rollback_on_grad_spike", False)
-        for _ in range(opts["iters_per_round"]):
-            weights = progress_schedule(cfg, self.current_steps)
-            batch = self._example_batch()
-            rng = jax.random.PRNGKey(self.current_steps)
-            params, opt_state, total, loss_dict, gnorm = self._train_step(
-                self.params, self.opt_state, self.states, batch, weights, rng
-            )
-            self.params, self.opt_state = params, opt_state
-            if rollback and self._maybe_rollback(gnorm):
-                continue
-            self.current_steps += 1
-            if log_fn is not None and self.current_steps % 100 == 0:
+        iters = opts["iters_per_round"]
+        k = int(opts.get("iters_per_dispatch", 1) or 1)
+        if rollback:
+            k = 1  # rollback needs per-iteration gnorm
+        done = 0
+        total = 0.0
+        while done < iters:
+            kk = min(k, iters - done)
+            if kk > 1:
+                batches = [self._example_batch() for _ in range(kk)]
+                weights_list = [
+                    progress_schedule(cfg, self.current_steps + i)
+                    for i in range(kk)
+                ]
+                rngs = [
+                    jax.random.PRNGKey(self.current_steps + i)
+                    for i in range(kk)
+                ]
+                (self.params, self.opt_state, total, loss_dict,
+                 gnorm) = self._train_chunk(batches, weights_list, rngs)
+                self.current_steps += kk
+                done += kk
+            else:
+                weights = progress_schedule(cfg, self.current_steps)
+                batch = self._example_batch()
+                rng = jax.random.PRNGKey(self.current_steps)
+                params, opt_state, total, loss_dict, gnorm = self._train_step(
+                    self.params, self.opt_state, self.states, batch, weights, rng
+                )
+                self.params, self.opt_state = params, opt_state
+                if rollback and self._maybe_rollback(gnorm):
+                    continue
+                self.current_steps += 1
+                done += 1
+            if log_fn is not None and self.current_steps % 100 < kk:
                 log_fn(self.current_steps, float(total),
-                       {k: float(v) for k, v in loss_dict.items()})
+                       {key: float(v) for key, v in loss_dict.items()})
         return float(total)
 
     def train(self, log_fn=None):

@@ -35,8 +35,8 @@ class RasterizeConfig(NamedTuple):
     span_cap: int = 4  # max tiles per axis a splat may cover (static duplication)
     budget: int = 1024  # max composited entries per tile
     tile_chunk: int = 8  # tiles vmapped together inside lax.map
-    # "tiles": differentiable XLA path (training default, budget-capped)
-    # "pallas": fused streaming TPU kernel (rendering; no per-tile budget)
+    # "tiles": differentiable XLA path (CPU + multi-chip GSPMD backend)
+    # "pallas": fused streaming TPU kernel fwd (no per-tile budget)
     # "naive": O(P·HW) oracle (tests)
     impl: str = "tiles"
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,9 @@ _NRM = 15
 _EXTRA = 18  # extra composited channels (flow/gauss-mask/...), up to _F-18
 MAX_EXTRA = _F - _EXTRA
 
-CHUNK = 128  # entries per chunk == lane width (DMA stays lane-aligned)
+# entries per chunk; default == lane width (DMA stays lane-aligned).
+# VIDU4D_RASTER_CHUNK sweeps 128/256/512 without code edits (powers of 2).
+CHUNK = int(os.environ.get("VIDU4D_RASTER_CHUNK", "128"))
 
 
 def _prefix_mul_lanes(x: jax.Array) -> jax.Array:
