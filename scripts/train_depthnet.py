@@ -82,8 +82,23 @@ def make_scene(rng, res, n_blobs=None):
     cols = np.concatenate(cols)
     scales_log = np.concatenate(scales_log)
 
+    # pad to a FIXED capacity so the rasterizer compiles once for the whole
+    # training run (variable splat counts = one XLA compile per scene)
+    cap = 1536
+    n = len(pts)
+    if n < cap:
+        pad = cap - n
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        cols = np.concatenate([cols, np.zeros((pad, 3), np.float32)])
+        scales_log = np.concatenate(
+            [scales_log, np.full((pad,), np.log(1e-4), np.float32)]
+        )
+    else:
+        pts, cols, scales_log = pts[:cap], cols[:cap], scales_log[:cap]
+
     state = sf.init_from_points(jnp.asarray(pts), jnp.asarray(cols),
-                                capacity=len(pts), sh_degree=0)
+                                capacity=cap, sh_degree=0)
+    alive = state.alive & (jnp.arange(cap) < n)
     params = state.params._replace(
         opacity=jnp.full_like(state.params.opacity, 5.0),
         scaling=jnp.asarray(scales_log)[:, None]
@@ -95,7 +110,7 @@ def make_scene(rng, res, n_blobs=None):
         params.xyz, sf.get_rotation(params), sf.get_scaling(params),
         sf.get_opacity(params)[:, 0], jnp.eye(4), intrins, res, res,
         shs=sf.get_features(params), sh_degree=0,
-        bg_color=jnp.asarray([0.0, 0.0, 0.0]), mask=state.alive,
+        bg_color=jnp.asarray([0.0, 0.0, 0.0]), mask=alive,
         config=RasterizeConfig(budget=1024, tile_chunk=4),
     )
     a = np.asarray(out.alpha)
