@@ -83,13 +83,17 @@ def main():
     ap.add_argument("--s2_iters", type=int, default=60)
     ap.add_argument("--s3_rounds", type=int, default=4)
     ap.add_argument("--s3_iters", type=int, default=100)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose artifacts already exist in --out "
+                         "(crash recovery: stage-3 resumes from its latest "
+                         "checkpoint)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     metrics = {"config": vars(args)}
     t_all = time.time()
 
-    # ---- ground-truth video -------------------------------------------
+    # ---- ground-truth video (seeded: identical across resume runs) ----
     frames, masks, gt_depth = make_gt_video(args.res, args.frames)
     print(f"[gt] frames {frames.shape} coverage {masks.mean():.2f}", flush=True)
 
@@ -98,10 +102,14 @@ def main():
 
     t0 = time.time()
     db = os.path.join(args.out, "database")
-    preprocess_video(frames, db, "synth-0000", masks=masks,
-                     crop_size=args.res, delta_list=(1, 2, 4, 8),
-                     tsdf_grid=64, depths=gt_depth)
-    write_config(db, "synth", crop_size=args.res)
+    cfg_path = os.path.join(db, "configs", "synth.config")
+    if args.resume and os.path.exists(cfg_path):
+        print("[stage1] resume: database exists, skipping", flush=True)
+    else:
+        preprocess_video(frames, db, "synth-0000", masks=masks,
+                         crop_size=args.res, delta_list=(1, 2, 4, 8),
+                         tsdf_grid=64, depths=gt_depth)
+        write_config(db, "synth", crop_size=args.res)
     metrics["stage1_s"] = round(time.time() - t0, 1)
     print(f"[stage1] {metrics['stage1_s']}s", flush=True)
 
@@ -115,18 +123,23 @@ def main():
     from vidu4d_tpu.engine.trainer import Stage2Trainer
 
     t0 = time.time()
-    s2 = Stage2Trainer({
-        **common, "logname": "s2", "pixels_per_image": 16,
-        "imgs_per_gpu": 32, "num_rounds": args.s2_rounds,
-        "iters_per_round": args.s2_iters, "save_freq": args.s2_rounds,
-        "fg_motion": "bob", "field_depth": 4, "field_width": 128,
-        "train_depth_samples": 32, "rgb_timefree": True, "rgb_dirfree": True,
-        "iters_per_dispatch": 10,
-    })
-    s2.mlp_init(sdf_iters=300, verbose=True)
-    s2.train()
+    s2_dir = os.path.join(common["logroot"], "synth-s2")
+    s2_ckpt = os.path.join(s2_dir, "ckpt_latest.pth")
+    mesh = os.path.join(s2_dir, f"{args.s2_rounds - 1:03d}-fg-geo.obj")
+    if args.resume and os.path.exists(s2_ckpt):
+        print("[stage2] resume: checkpoint exists, skipping", flush=True)
+    else:
+        s2 = Stage2Trainer({
+            **common, "logname": "s2", "pixels_per_image": 16,
+            "imgs_per_gpu": 32, "num_rounds": args.s2_rounds,
+            "iters_per_round": args.s2_iters, "save_freq": args.s2_rounds,
+            "fg_motion": "bob", "field_depth": 4, "field_width": 128,
+            "train_depth_samples": 32, "rgb_timefree": True,
+            "rgb_dirfree": True, "iters_per_dispatch": 10,
+        })
+        s2.mlp_init(sdf_iters=300, verbose=True)
+        s2.train()
     metrics["stage2_s"] = round(time.time() - t0, 1)
-    mesh = os.path.join(s2.save_dir, f"{args.s2_rounds - 1:03d}-fg-geo.obj")
     print(f"[stage2] {metrics['stage2_s']}s mesh={os.path.exists(mesh)}", flush=True)
 
     # ---- stage 3 --------------------------------------------------------
@@ -136,7 +149,9 @@ def main():
     s3 = Stage3Trainer({
         **common, "logname": "s3", "pixels_per_image": -1, "imgs_per_gpu": 1,
         "num_rounds": args.s3_rounds, "iters_per_round": args.s3_iters,
-        "save_freq": args.s3_rounds, "fg_motion": "gs-bob",
+        # checkpoint every 4 rounds: a flaky-backend crash resumes from the
+        # last multiple of 4 instead of restarting stage 3 from scratch
+        "save_freq": min(4, args.s3_rounds), "fg_motion": "gs-bob",
         "gs_capacity": 40000, "gs_init_samples": 20000, "sh_degree": 1,
         "raster_budget": 512, "raster_tile_chunk": 4,
         "gs_init_mesh": mesh if os.path.exists(mesh) else "",
@@ -146,7 +161,12 @@ def main():
         # 10 iterations per device dispatch (divides the densify cadence)
         "iters_per_dispatch": 10,
     })
-    s3.load_stage2(os.path.join(s2.save_dir, "ckpt_latest.pth"))
+    s3_ckpt = os.path.join(s3.save_dir, "ckpt_latest.pth")
+    if args.resume and os.path.exists(s3_ckpt):
+        s3.load_checkpoint(s3_ckpt, reset_steps=False)
+        print(f"[stage3] resume from round {s3.current_round}", flush=True)
+    else:
+        s3.load_stage2(s2_ckpt)
     s3.train()
     metrics["stage3_s"] = round(time.time() - t0, 1)
     print(f"[stage3] {metrics['stage3_s']}s alive={int(s3.surfels.num_alive())}",
