@@ -50,8 +50,13 @@ def main():
     out = {}
     res = 256
     scene = make_scene(200_000, res)
+    print("scene ready", flush=True)
 
-    ref = render(scene, res, RasterizeConfig(impl="pallas_grad"))
+    # unbounded reference via the plain fwd kernel (the custom_vjp wrapper
+    # adds nothing for a no-grad render and has wedged the remote worker
+    # twice at this size)
+    ref = render(scene, res, RasterizeConfig(impl="pallas"))
+    print("reference ready", flush=True)
     sweep = {}
     for budget in (256, 512, 1024, 2048, 4096):
         img = render(
@@ -76,7 +81,8 @@ def main():
         "max_tile_count": int(jnp.max(binning.tile_count)),
         "mean_tile_count": round(float(jnp.mean(binning.tile_count)), 1),
     }
-    img512 = render(scene2, res2, RasterizeConfig(impl="pallas_grad"))
+    print("render512 binning ready", flush=True)
+    img512 = render(scene2, res2, RasterizeConfig(impl="pallas"))
     out["render512"]["finite"] = bool(np.isfinite(img512).all())
     out["render512"]["mean_intensity"] = round(float(img512.mean()), 4)
     print(json.dumps(out))
