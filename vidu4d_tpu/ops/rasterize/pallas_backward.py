@@ -83,9 +83,11 @@ def _suffix_add_lanes(x):
 def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                      n_extra: int = 0, n_tiles_per_frame: int = 0):
     px_n = tile * tile
+    ng = _EXTRA + n_extra  # used grad rows are exactly [0, 18 + n_extra)
 
     def kernel(start_ref, count_ref, props_hbm, cot_ref, resid_ref,
-               grads_in_hbm, grads_hbm, scratch, gscratch, sem, gsem):
+               grads_in_hbm, grads_hbm, scratch, gscratch, sem, gsem_r,
+               gsem_w):
         del grads_in_hbm  # aliased with grads_hbm (read-modify-write)
         t = pl.program_id(0)
         start = start_ref[t]
@@ -142,17 +144,44 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 scratch.at[slot], sem.at[slot],
             )
 
+        # grads RMW is double-buffered too: read chunk ci+1 / write chunk
+        # ci-1 ride under chunk ci's compute. Chunk ranges within a tile are
+        # disjoint (the slab pad guarantees chunk_base never clamps), and
+        # the end-of-tile waits below retire every write before the next
+        # grid step can read an overlapping aligned-down range.
+        def gread(ci, slot):
+            return pltpu.make_async_copy(
+                grads_hbm.at[:ng, pl.ds(chunk_base(ci), CHUNK)],
+                gscratch.at[slot], gsem_r.at[slot],
+            )
+
+        def gwrite(ci, slot):
+            return pltpu.make_async_copy(
+                gscratch.at[slot],
+                grads_hbm.at[:ng, pl.ds(chunk_base(ci), CHUNK)],
+                gsem_w.at[slot],
+            )
+
         @pl.when(num_chunks > 0)
         def _():
             props_copy(0, 0).start()
+            gread(0, 0).start()
 
         def body(ci, carry):
             t_after, s_gw = carry  # (px_n, 1) each
             slot = jax.lax.rem(ci, 2)
-            # prefetch the next (earlier) chunk under this chunk's compute
+            # prefetch the next (earlier) chunk under this chunk's compute;
+            # the other slot's pending grads WRITE (chunk ci-1) must retire
+            # before its buffer is reused for the next grads read
             @pl.when(ci + 1 < num_chunks)
             def _():
                 props_copy(ci + 1, 1 - slot).start()
+
+                @pl.when(ci >= 1)
+                def _():
+                    gwrite(ci - 1, 1 - slot).wait()
+
+                gread(ci + 1, 1 - slot).start()
 
             props_copy(ci, slot).wait()
             base = chunk_base(ci)
@@ -295,12 +324,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             def psum(x):
                 return jnp.sum(jnp.where(ok, x, 0.0), axis=0, keepdims=True)
 
-            gcopy_in = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(base, CHUNK)], gscratch, gsem
-            )
-            gcopy_in.start()
-            gcopy_in.wait()
-            acc = gscratch[:, :]
+            gread(ci, slot).wait()
+            acc = gscratch[slot, :, :]
             rows = [
                 (psum(g_tu[0]), _TU), (psum(g_tu[1]), _TU + 1), (psum(g_tu[2]), _TU + 2),
                 (psum(g_tv[0]), _TV), (psum(g_tv[1]), _TV + 1), (psum(g_tv[2]), _TV + 2),
@@ -313,12 +338,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 (psum(w * g_extra[e]), _EXTRA + e) for e in range(n_extra)
             ]
             for val, r in rows:
-                gscratch[r, :] = acc[r, :] + val[0]
-            gcopy_out = pltpu.make_async_copy(
-                gscratch, grads_hbm.at[:, pl.ds(base, CHUNK)], gsem
-            )
-            gcopy_out.start()
-            gcopy_out.wait()
+                gscratch[slot, r, :] = acc[r, :] + val[0]
+            gwrite(ci, slot).start()
 
             # carry: t_before of the FIRST lane = T after all earlier entries
             t_after2 = t_before[:, 0][:, None]
@@ -330,6 +351,17 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             (t_fin * jnp.ones((px_n, 1), jnp.float32),
              jnp.zeros((px_n, 1), jnp.float32)),
         )
+
+        # retire the trailing writes (the last chunk's, and the one before
+        # it whose wait was skipped because no further gread reused its
+        # slot) before the next grid step may read overlapping ranges
+        @pl.when(num_chunks > 1)
+        def _():
+            gwrite(num_chunks - 2, jax.lax.rem(num_chunks - 2, 2)).wait()
+
+        @pl.when(num_chunks > 0)
+        def _():
+            gwrite(num_chunks - 1, jax.lax.rem(num_chunks - 1, 2)).wait()
 
     return kernel
 
@@ -376,9 +408,11 @@ def backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, _F, CHUNK), jnp.float32),  # double-buffered props
-            pltpu.VMEM((_F, CHUNK), jnp.float32),     # grads RMW buffer
+            # double-buffered grads RMW (only the used rows travel)
+            pltpu.VMEM((2, _EXTRA + n_extra, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),  # grads reads
+            pltpu.SemaphoreType.DMA((2,)),  # grads writes
         ],
     )
     grads = pl.pallas_call(
