@@ -73,16 +73,30 @@ def build_trainer(surfels: int, res: int, frames: int, impl: str,
     }
     trainer = Stage3Trainer(opts)
 
-    # converged-scene surfel cloud: object-shaped ellipsoid filling ~half the
-    # frame. The fake-db camera prior sits at z=3 and get_samples scales
-    # field translations by exp(logscale)=0.1, so the camera is 0.3 field
-    # units away: a ~0.08-radius cloud subtends ~130 px at fx=res=256 and
-    # stays in front of the 0.2 near plane. (A 0.5-radius cloud swallowed
-    # the camera — 99.98% of tile entries landed in ONE tile and the
-    # per-tile kernel serialized; r2 probe.)
+    # The bench skips the Stage-2 mlp_init that normally fits the camera
+    # and intrinsics MLPs to priors, so at random init the focal is ~0.5 px
+    # and nearly every splat culls away (r2 probe: 619 of 200k entries —
+    # the step then times the fixed-capacity sort/pack pipeline, not
+    # compositing). Fix the intrinsics to the pixel-true prior and place
+    # the cloud THROUGH the warp so the workload is a real render.
+    from vidu4d_tpu.models.fields.time_mlp import init_intrinsics_base_params
+
+    n_frames_total = int(np.asarray(trainer.frame_info.frame_offset)[-1])
+    prior = np.tile(
+        np.array([1.2 * res, 1.2 * res, res / 2, res / 2], np.float32),
+        (n_frames_total, 1),
+    )
+    p = dict(trainer.params["params"])
+    intr_params = init_intrinsics_base_params(
+        {"params": p["intrinsics"]}, prior, trainer.frame_info
+    )
+    p["intrinsics"] = intr_params["params"]
+    trainer.params = {**trainer.params, "params": p}
+
     rng = np.random.default_rng(0)
     pts = rng.normal(size=(surfels, 3)).astype(np.float32)
     pts *= np.array([0.03, 0.04, 0.03], np.float32)
+    pts = _calibrate_scene(trainer, pts)
     cols = rng.uniform(size=(surfels, 3)).astype(np.float32)
     feats = rng.normal(size=(surfels, 16)).astype(np.float32)
     feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
@@ -93,7 +107,93 @@ def build_trainer(surfels: int, res: int, frames: int, impl: str,
     from vidu4d_tpu.models.gaussian.optimizer import gs_adam_init
 
     trainer.gs_adam = gs_adam_init(trainer.surfels.params)
+    trainer._bench_scene_diag = _scene_diag(trainer, res)
     return trainer
+
+
+def _calibrate_scene(trainer, pts: "np.ndarray") -> "np.ndarray":
+    """Place the cloud so its WARPED image fills the frame.
+
+    The deformer is at random init (25 random bones + random camera heads),
+    so world placement doesn't map to camera space in any obvious way.
+    Affine-fit cam ≈ world @ A + b through the actual warp on a subsample,
+    then solve for the cloud that lands in a visible camera-space box;
+    iterate to absorb the warp's nonlinearity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidu4d_tpu.models.gaussian import surfels as sf
+
+    d = trainer.deformer
+    batch = trainer._next_batch()
+    samples = d.apply(trainer.params, batch, method=d.get_samples)
+    n = pts.shape[0]
+    rot = np.zeros((n, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot = jnp.asarray(rot)
+
+    warp = jax.jit(
+        lambda xyz: d.apply(
+            trainer.params, xyz, rot, samples, method=d.warp_surfels
+        )[0]
+    )
+    rngl = np.random.default_rng(1)
+    # target: z safely past the 0.2 near plane, ~±70 px spread at fx=1.2res
+    target = (
+        rngl.normal(size=(n, 3)) * np.array([0.05, 0.06, 0.035])
+        + np.array([0.0, 0.0, 0.38])
+    ).astype(np.float32)
+    sub = np.arange(0, n, max(1, n // 2048))
+    for _ in range(3):
+        xc = np.asarray(warp(jnp.asarray(pts)))  # (M, n, 3)
+        x_s = np.concatenate([pts[sub]] * xc.shape[0])
+        y_s = np.concatenate([np.asarray(xc[f])[sub] for f in range(xc.shape[0])])
+        xh = np.concatenate([x_s, np.ones((len(x_s), 1), np.float32)], 1)
+        w, *_ = np.linalg.lstsq(xh, y_s, rcond=None)
+        a, b = w[:3], w[3]
+        pts = ((target - b) @ np.linalg.pinv(a, rcond=1e-3)).astype(np.float32)
+    return pts
+
+
+def _scene_diag(trainer, res: int) -> dict:
+    """Per-frame visibility/occupancy telemetry for the bench workload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vidu4d_tpu.models.gaussian import surfels as sf
+    from vidu4d_tpu.ops import geometry as geom
+    from vidu4d_tpu.ops.rasterize.common import bin_splats, project_splats
+
+    d = trainer.deformer
+    batch = trainer._next_batch()
+    samples = d.apply(trainer.params, batch, method=d.get_samples)
+    sp = trainer.surfels.params
+    xc, rc, _ = d.apply(
+        trainer.params, sp.xyz, sf.get_rotation(sp), samples,
+        method=d.warp_surfels,
+    )
+    intr = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
+    diag = {"valid": [], "entries": [], "tiles_occupied": [], "max_tile": []}
+
+    @jax.jit
+    def one(xc_f, rc_f, intr_f):
+        proj = project_splats(
+            xc_f, rc_f, sf.get_scaling(sp), jnp.eye(4), intr_f,
+            mask=trainer.surfels.alive,
+        )
+        b = bin_splats(proj, res, res, tile=16, span_cap=4)
+        return (jnp.sum(proj.valid), b.num_entries,
+                jnp.sum(b.tile_count > 0), jnp.max(b.tile_count))
+
+    for f in range(xc.shape[0]):
+        v, e, t, m = one(xc[f], rc[f], intr[f])
+        diag["valid"].append(int(v))
+        diag["entries"].append(int(e))
+        diag["tiles_occupied"].append(int(t))
+        diag["max_tile"].append(int(m))
+    return diag
 
 
 def run_bench(args) -> dict:
@@ -202,6 +302,14 @@ def run_bench(args) -> dict:
             detail["gflop_per_step"] = round(flops / 1e9, 1)
             detail["tflops_eff"] = round(flops / dt / 1e12, 3)
             detail["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 5)
+        diag = getattr(trainer, "_bench_scene_diag", None)
+        if diag:
+            detail["scene"] = diag
+            if min(diag["valid"]) < 0.5 * args.surfels:
+                # a near-empty render times the fixed sort/pack pipeline,
+                # not compositing (exactly the r2 bench bug) — refuse to
+                # report a throughput number for it
+                raise RuntimeError(f"bench scene degenerate: {diag}")
         return {
             "metric": "stage3_splats_per_sec",
             "value": round(splats_per_sec, 1),

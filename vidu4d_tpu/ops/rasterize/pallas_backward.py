@@ -83,7 +83,9 @@ def _suffix_add_lanes(x):
 def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                      n_extra: int = 0, n_tiles_per_frame: int = 0):
     px_n = tile * tile
-    ng = _EXTRA + n_extra  # used grad rows are exactly [0, 18 + n_extra)
+    # used grad rows are [0, 18 + n_extra); HBM slices must be aligned to
+    # the (8, 128) tiling, so round up to a sublane multiple
+    ng = -(-(_EXTRA + n_extra) // 8) * 8
 
     def kernel(start_ref, count_ref, props_hbm, cot_ref, resid_ref,
                grads_in_hbm, grads_hbm, scratch, gscratch, sem, gsem_r,
@@ -408,8 +410,10 @@ def backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, _F, CHUNK), jnp.float32),  # double-buffered props
-            # double-buffered grads RMW (only the used rows travel)
-            pltpu.VMEM((2, _EXTRA + n_extra, CHUNK), jnp.float32),
+            # double-buffered grads RMW (only used rows travel, rounded up
+            # to the sublane tiling)
+            pltpu.VMEM((2, -(-(_EXTRA + n_extra) // 8) * 8, CHUNK),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),  # grads reads
             pltpu.SemaphoreType.DMA((2,)),  # grads writes
