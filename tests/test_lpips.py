@@ -37,6 +37,9 @@ def test_metrics_cli_reports_lpips(tmp_path):
     out = compute_metrics(
         load_images(str(tmp_path / "pred")), load_images(str(tmp_path / "gt"))
     )
-    assert out["lpips"] is not None and out["lpips"] < 1e-6
+    # fallback weights report under lpips_random; "lpips" stays None so
+    # nobody compares the random-VGG number against published LPIPS(vgg)
+    assert out["lpips"] is None
+    assert out["lpips_random"] is not None and out["lpips_random"] < 1e-6
     assert out["lpips_kind"] == "vgg16-random-pinned"
     assert out["psnr"] > 40

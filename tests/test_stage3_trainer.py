@@ -58,6 +58,28 @@ def test_stage3_trainer_smoke(tmp_path):
     assert trainer.current_steps == 4
 
 
+def test_cadence_due_window():
+    """Hook cadence under iters_per_dispatch chunking (ADVICE r2): a hook
+    fires iff a multiple of its interval falls in (it - span, it], even when
+    short final chunks shift current_steps off the k-grid."""
+    from vidu4d_tpu.engine.gs4d_trainer import cadence_due
+
+    # per-step (span=1): fires exactly on multiples
+    assert cadence_due(100, 1, 100) == 100
+    assert cadence_due(101, 1, 100) is None
+    assert cadence_due(0, 1, 100) is None  # step 0 never fires
+    # chunked: 150-interval hook with k=75 lands mid-window
+    assert cadence_due(150, 75, 150) == 150
+    assert cadence_due(225, 75, 150) is None  # fired in the prior (75,150] chunk
+    assert cadence_due(300, 75, 150) == 300
+    # off-grid drift from a short final chunk: steps 0->70->140->210 with
+    # interval 100 must still fire 100 (win (70,140]) and 200 (win (140,210])
+    assert cadence_due(140, 70, 100) == 100
+    assert cadence_due(210, 70, 100) == 200
+    # 2000-interval outlier filter with k=75: fires in the (1950, 2025] chunk
+    assert cadence_due(2025, 75, 2000) == 2000
+
+
 @pytest.mark.slow
 def test_iters_per_dispatch_chunk_matches_per_step(tmp_path):
     """k-iteration lax.scan chunks == per-step dispatch (r2: the device-

@@ -213,9 +213,9 @@ class VidDataset:
         """Pixel-sampled read via the native threaded gather
         (csrc/batch_sampler.cpp). Gathers straight from the f16 mmaps so
         only the touched pages are read and no full-frame f16->f32 convert
-        happens. Measured vs the numpy gather (stage-2 shapes, 64x256^2
-        f16 video): 132 us vs 259 us per 512x16-px batch, 0.9 ms vs 4.0 ms
-        per full-image pair (scripts in /tmp r2; numbers on the build host).
+        happens. Measured by `scripts/bench_sampler.py --T 64 --res 256`
+        (r3, build host): 1.84 ms vs 7.90 ms median per 16-px image-pair
+        read — 4.3x. (Full-image reads bypass this path entirely.)
         Returns None when the native library is unavailable (numpy path
         runs instead); disable with VIDU4D_NATIVE_SAMPLER=0."""
         import os as _os

@@ -105,6 +105,15 @@ def transfer_stage2_params(stage2_params: Dict, deformer_params: Dict) -> Dict:
     return {**deformer_params, "params": dst}
 
 
+def cadence_due(it: int, span: int, interval: int) -> Optional[int]:
+    """Largest positive multiple of `interval` inside the just-executed step
+    window (it - span, it], or None. Used by the densify/reset/prune hooks so
+    iters_per_dispatch chunks (including short final chunks that shift steps
+    off the k-grid) can never skip a cadence point."""
+    m = (it // interval) * interval
+    return m if m > it - span and m > 0 else None
+
+
 class Stage3Trainer:
     def __init__(self, opts: Dict, datasets=None, data_info=None):
         self.opts = dict(opts)
@@ -362,9 +371,15 @@ class Stage3Trainer:
                 )  # (M, P, 2)
                 # normalize to ~[-1,1] before alpha compositing
                 # (`deformable_gaussian.py:1177-1179`); the scale is data, not
-                # a function to differentiate through
+                # a function to differentiate through. Dead/pruned surfels
+                # still go through the warp and can project degenerate flows
+                # — mask them so one dead slot can't shrink every live
+                # surfel's composited channels (costing f32 precision)
+                flow_alive = jnp.where(
+                    state_alive[None, :, None], flow_pw, 0.0
+                )
                 flow_scale = jax.lax.stop_gradient(
-                    jnp.max(jnp.abs(flow_pw)) + 1e-6
+                    jnp.max(jnp.abs(flow_alive)) + 1e-6
                 )
                 extra = flow_pw / flow_scale
 
@@ -665,10 +680,8 @@ class Stage3Trainer:
         rollback = opts.get("rollback_on_grad_spike", False)
         iters = opts.get("iters_per_round", 200)
         k = int(opts.get("iters_per_dispatch", 1) or 1)
-        interval = opts.get("densification_interval", 100)
-        if k > 1 and (interval % k or rollback):
-            # cadence points must land on chunk boundaries; rollback needs
-            # per-iteration gnorm
+        if k > 1 and rollback:
+            # rollback needs per-iteration gnorm
             k = 1
         metrics = None
 
@@ -688,7 +701,7 @@ class Stage3Trainer:
                 )
                 self.current_steps += kk
                 done += kk
-                self._densify_hooks()
+                self._densify_hooks(span=kk)
             else:
                 weights = self._step_weights(cfg, self.current_steps)
                 batch = self._next_batch()
@@ -709,34 +722,47 @@ class Stage3Trainer:
                        {kk2: float(v) for kk2, v in metrics.items()})
         return metrics
 
-    def _densify_hooks(self):
+    def _densify_hooks(self, span: int = 1):
         """Densify / opacity reset / outlier prune cadence
-        (`trainer.py:549-598`)."""
+        (`trainer.py:549-598`).
+
+        `span` is the number of steps just executed (iters_per_dispatch
+        chunking): each hook fires if a multiple of its interval falls
+        inside the window (current_steps - span, current_steps] — so
+        cadence points never need to land exactly on chunk boundaries and
+        chunks shorter than k cannot silently shift hooks off-grid. With
+        span > interval, multiple cadence points collapse into one firing
+        (at most one densify per dispatch — same device-side behavior)."""
         o = self.opts
         it = self.current_steps
-        if it < o.get("densify_until_iter", 15000):
-            if it > o.get("densify_from_iter", 500) and it % o.get(
-                "densification_interval", 100
-            ) == 0:
-                size_thr = 20.0 if it > o.get("opacity_reset_interval", 3000) else 0.0
-                self.surfels, self.gs_adam, info = densify_mod.densify_and_prune(
-                    self.surfels, self.gs_adam, jax.random.PRNGKey(it),
-                    extent=o.get("cameras_extent", 1.0),
-                    max_screen_size=size_thr,
-                    config=densify_mod.DensifyConfig(
-                        grad_threshold=o.get("densify_grad_threshold", 2e-4),
-                        min_opacity=0.005,
-                        percent_dense=o.get("percent_dense", 0.01),
-                    ),
-                )
-            if it % o.get("opacity_reset_interval", 3000) == 0:
-                self.surfels, self.gs_adam = densify_mod.reset_opacity(
-                    self.surfels, self.gs_adam
-                )
+
+        def due(interval):
+            return cadence_due(it, span, interval)
+
+        m = due(o.get("densification_interval", 100))
         if (
-            it % o.get("outlier_filtering_interval", 2000) == 0
-            and 0 < it < o.get("outlier_stop_iter", 29000)
+            m is not None
+            and m < o.get("densify_until_iter", 15000)
+            and m > o.get("densify_from_iter", 500)
         ):
+            size_thr = 20.0 if m > o.get("opacity_reset_interval", 3000) else 0.0
+            self.surfels, self.gs_adam, info = densify_mod.densify_and_prune(
+                self.surfels, self.gs_adam, jax.random.PRNGKey(m),
+                extent=o.get("cameras_extent", 1.0),
+                max_screen_size=size_thr,
+                config=densify_mod.DensifyConfig(
+                    grad_threshold=o.get("densify_grad_threshold", 2e-4),
+                    min_opacity=0.005,
+                    percent_dense=o.get("percent_dense", 0.01),
+                ),
+            )
+        m = due(o.get("opacity_reset_interval", 3000))
+        if m is not None and m < o.get("densify_until_iter", 15000):
+            self.surfels, self.gs_adam = densify_mod.reset_opacity(
+                self.surfels, self.gs_adam
+            )
+        m = due(o.get("outlier_filtering_interval", 2000))
+        if m is not None and m < o.get("outlier_stop_iter", 29000):
             mask = densify_mod.radius_outlier_mask(
                 self.surfels.params.xyz, self.surfels.alive,
                 nb_points=20, radius=0.004,

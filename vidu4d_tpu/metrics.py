@@ -43,13 +43,19 @@ def compute_metrics(preds, gts):
         psnrs.append(float(psnr(p_t, g_t)))
         ssims.append(float(ssim(p_t, g_t)))
         lpipss.append(lpips(p[..., :3], g[..., :3]))
+    # fallback (pinned random VGG) values are self-consistent but NOT
+    # comparable to published LPIPS(vgg) — report them under a distinct
+    # key so consumers comparing against literature see "lpips": None
+    kind = lpips_kind()
+    mean_lpips = float(np.mean(lpipss))
     return {
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
-        "lpips": float(np.mean(lpipss)),
+        "lpips": mean_lpips if kind == "vgg16-pretrained" else None,
+        "lpips_random": None if kind == "vgg16-pretrained" else mean_lpips,
         # which VGG weights produced the LPIPS number (pretrained vs the
         # pinned random fallback — see vidu4d_tpu/ops/lpips.py docstring)
-        "lpips_kind": lpips_kind(),
+        "lpips_kind": kind,
         "n_images": len(psnrs),
     }
 

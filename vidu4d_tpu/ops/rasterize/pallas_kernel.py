@@ -53,6 +53,13 @@ MAX_EXTRA = _F - _EXTRA
 # entries per chunk; default == lane width (DMA stays lane-aligned).
 # VIDU4D_RASTER_CHUNK sweeps 128/256/512 without code edits (powers of 2).
 CHUNK = int(os.environ.get("VIDU4D_RASTER_CHUNK", "128"))
+# the Hillis-Steele prefix/suffix scans take log2(CHUNK) steps and the DMA
+# slices assume lane alignment — a non-power-of-two (or <128) value would
+# silently produce wrong compositing/gradients, so fail loudly at import
+if CHUNK < 128 or (CHUNK & (CHUNK - 1)) != 0:
+    raise ValueError(
+        f"VIDU4D_RASTER_CHUNK must be a power of two >= 128, got {CHUNK}"
+    )
 
 
 def _prefix_mul_lanes(x: jax.Array) -> jax.Array:

@@ -60,6 +60,21 @@ def _depthnet_backend():
     return DepthNet(), load_weights(path)
 
 
+# jitted-apply cache keyed by model config so repeated estimate_depth calls
+# (one per video) reuse the compiled U-Net instead of re-tracing through a
+# fresh jax.jit each time (ADVICE r2)
+_apply_cache: dict = {}
+
+
+def _depthnet_apply(model, params, x):
+    key = (type(model).__name__, getattr(model, "width", None))
+    fn = _apply_cache.get(key)
+    if fn is None:
+        fn = jax.jit(model.apply)
+        _apply_cache[key] = fn
+    return fn(params, x)
+
+
 def depth_from_net(frames: jax.Array, model, params) -> jax.Array:
     """(T, H, W[, 3]) frames -> (T, H, W) depth via the learned U-Net.
     Pads to a multiple of 16 (4 stride-2 stages), maps relative disparity
@@ -72,7 +87,7 @@ def depth_from_net(frames: jax.Array, model, params) -> jax.Array:
     ph = (-h) % 16
     pw = (-w) % 16
     x = jnp.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    disp = jax.jit(model.apply)(params, x)[:, :h, :w]
+    disp = _depthnet_apply(model, params, x)[:, :h, :w]
     return disparity_to_depth(disp)
 
 
