@@ -139,6 +139,7 @@ def preprocess_video(
     tsdf_grid: int = 96,
     depth_backend: str = "auto",
     depths: Optional[np.ndarray] = None,  # (T, H, W) external depth priors
+    segment_backend: str = "external",
 ) -> Dict[str, str]:
     """Run the full Stage-1 pipeline for one video. Returns written paths.
 
@@ -146,7 +147,13 @@ def preprocess_video(
     `preprocess/scripts/depth.py:37-58` — the reference always consumes a
     depth network's output; pass sensor/renderer/model depth here). When
     None, falls back to ``depth_backend`` (flow-parallax — valid only under
-    camera translation)."""
+    camera translation).
+
+    ``segment_backend``: "external" uses ``masks`` as given (center prior
+    when None, every frame); "flow" tracks a SEED mask — masks[0] if
+    provided, else the center prior — through the video with RAFT-flow
+    propagation + online appearance models (the Track-Anything slot,
+    `track_anything_cli.py:53-263`; see preprocess/segment.py)."""
     t, hr, wr = frames.shape[:3]
     written = {}
 
@@ -156,7 +163,12 @@ def preprocess_video(
         return d
 
     prefix = f"crop-{crop_size}"
-    if masks is None:
+    if segment_backend == "flow":
+        from vidu4d_tpu.preprocess.segment import segment_video
+
+        seed = np.asarray(masks[0]) if masks is not None else None
+        masks = segment_video(frames, seed_mask=seed)
+    elif masks is None:
         masks = np.stack([center_box_mask((hr, wr))] * t)
     masks = np.asarray(masks, np.float32)
     is_detected = (masks.reshape(t, -1).max(-1) > 0).astype(np.float32)
@@ -326,7 +338,8 @@ def write_config(out_root: str, collection_name: str, crop_size: int = 256):
 
 def run_preprocess(out_root: str, collection_name: str, video_paths: List[str],
                    masks_per_video: Optional[List[np.ndarray]] = None,
-                   crop_size: int = 256, use_filter_frames: bool = False):
+                   crop_size: int = 256, use_filter_frames: bool = False,
+                   segment_backend: str = "external"):
     """Full multi-video orchestrator (`scripts/run_preprocess.py:122-235`);
     ``use_filter_frames`` defaults off like run_preprocess.py:153."""
     for vidid, path in enumerate(video_paths):
@@ -345,5 +358,6 @@ def run_preprocess(out_root: str, collection_name: str, video_paths: List[str],
             if masks is not None:
                 masks = masks[keep]
         preprocess_video(frames, out_root, seqname, masks=masks,
-                         crop_size=crop_size)
+                         crop_size=crop_size,
+                         segment_backend=segment_backend)
     write_config(out_root, collection_name, crop_size=crop_size)
