@@ -37,6 +37,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the bench retries in FRESH processes
+    (a TPU worker crash poisons the in-process client), and the production
+    step's compile is minutes through the tunneled runtime — the cache makes
+    retry N start where retry N-1 left off."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vidu4d_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 REFERENCE_SPLATS_PER_SEC = 2.0e6
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 VPU work peaks far lower
 
@@ -197,6 +212,7 @@ def _scene_diag(trainer, res: int) -> dict:
 
 
 def run_bench(args) -> dict:
+    _enable_compile_cache()
     import jax
     import numpy as np
 

@@ -20,9 +20,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: repeat runs / sweeps skip the multi-minute
+# tunneled-TPU compiles
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vidu4d_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 

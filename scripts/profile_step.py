@@ -27,6 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench
+
+bench._enable_compile_cache()
+
 
 def timed(make_scalar_fn, inputs, iters):
     """Scan-time fn(c, inputs)->scalar; returns (ms_per_iter, last_value)."""

@@ -223,6 +223,56 @@ def test_pallas_batched_frames_interpret():
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("sharded_parity")
+def test_pallas_batch_shard_map_mesh_parity_interpret():
+    """Multi-chip Pallas path (VERDICT r2 #4): the (frame, tile) grid
+    partitioned over the 8-device CPU mesh via shard_map must match the
+    single-device batched kernel in value AND gradient (the replicated-slab
+    cotangent psum included)."""
+    import jax
+
+    from vidu4d_tpu.ops.rasterize.pallas_backward import (
+        rasterize_pallas_grad_batch,
+    )
+    from vidu4d_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)  # (data 2, surfel 4); 2 frames x 4 tiles = 8 programs
+
+    rng = np.random.default_rng(33)
+    means, quats, scales, opac, colors, viewmat, intrins = make_scene(rng, n=50)
+    shift = jnp.asarray([0.1, -0.05, 0.2], jnp.float32)
+    means_b = jnp.stack([means, means + shift])
+    colors_b = jnp.stack([colors, colors * 0.5])
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    H = W = 32
+
+    def make_loss(use_mesh):
+        def loss(means_b, colors_b, opac):
+            proj_b = jax.vmap(
+                lambda mn: project_splats(mn, quats, scales, viewmat, intrins)
+            )(means_b)
+            out = rasterize_pallas_grad_batch(
+                proj_b, colors_b, opac, bg, H, W, tile=16, span_cap=4,
+                interpret=True, mesh=mesh if use_mesh else None,
+            )
+            return (
+                jnp.mean(out.color ** 2) + 0.2 * jnp.mean(out.alpha)
+                + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+            )
+        return loss
+
+    args = (means_b, colors_b, opac)
+    v1, g1 = jax.value_and_grad(make_loss(False), argnums=(0, 1, 2))(*args)
+    v2, g2 = jax.value_and_grad(make_loss(True), argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means_b", "colors_b", "opac"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
+        )
+
+
+@pytest.mark.slow
 def test_pallas_backward_deep_chains_interpret():
     """Regression (r2): deep per-pixel compositing chains crossing many
     CHUNK boundaries. The forward carry used to reset the transmittance

@@ -215,18 +215,17 @@ class Stage3Trainer:
 
         # default backend: the fused Pallas fwd+bwd kernels on TPU (measured
         # 3.5x faster than the XLA tiles path at 200k/256^2, scripts/
-        # bench_raster.py r2), the budget-capped XLA path elsewhere (the
+        # bench_raster.py r2), the budget-capped XLA path on CPU (the
         # compiled Pallas kernel is TPU-only; interpret mode is test-speed).
-        # Under a mesh the tiles path is forced: pallas_call has no GSPMD
-        # partitioning rule, while the pure-XLA graph shards automatically.
-        if self.mesh is not None or jax.default_backend() == "cpu":
+        # Under a mesh the Pallas kernels run via shard_map — the (frame,
+        # tile) grid partitions over the devices (VERDICT r2 #4); explicit
+        # raster_impl (incl. "pallas_grad_interpret" for CPU-mesh dryruns)
+        # always wins.
+        if jax.default_backend() == "cpu":
             default_impl = "tiles"
         else:
             default_impl = "pallas_grad"
         impl = opts.get("raster_impl") or default_impl
-        if self.mesh is not None and impl.startswith("pallas"):
-            print("[mesh active: forcing raster_impl=tiles (GSPMD-shardable)]")
-            impl = "tiles"
         self.raster_cfg = RasterizeConfig(
             tile=opts.get("raster_tile", 16),
             span_cap=opts.get("raster_span_cap", 4),
@@ -387,7 +386,7 @@ class Stage3Trainer:
                 sparams, state_alive,
                 shard(xyz_cam, "data", None), shard(rot_cam, "data", None),
                 intrins, res, res, sh_degree, bg, raster_cfg,
-                densify_dummy=dummy, extra_colors=extra,
+                densify_dummy=dummy, extra_colors=extra, mesh=mesh,
             )
             # image-space tensors (M, H, W, c)
             m = xyz_cam.shape[0]

@@ -269,12 +269,18 @@ def render_surfels_batch(
     config: RasterizeConfig,
     densify_dummy: Optional[jax.Array] = None,  # (M, P, 2)
     extra_colors: Optional[jax.Array] = None,  # (M, P, C) appended channels
+    mesh=None,
 ):
     """Rasterize warped surfels for every batch frame.
 
     XLA backends vmap the per-frame rasterizer; the Pallas training backend
     ("pallas_grad") folds the frame dim into the kernel grid instead (one
-    fwd + one bwd launch per step, no pallas batching rules involved)."""
+    fwd + one bwd launch per step, no pallas batching rules involved).
+
+    mesh: optional jax.sharding.Mesh — partitions the Pallas (frame, tile)
+    grid over the devices via shard_map (multi-chip; see
+    `rasterize_pallas_grad_batch`). "pallas_grad_interpret" runs the same
+    path through the Pallas interpreter (CPU-mesh tests/dryruns)."""
     eye = jnp.eye(4, dtype=xyz_cam.dtype)
     scaling = sf.get_scaling(params)
     opacity = sf.get_opacity(params)[:, 0]
@@ -283,7 +289,7 @@ def render_surfels_batch(
     if densify_dummy is None:
         densify_dummy = jnp.zeros(xyz_cam.shape[:2] + (2,), xyz_cam.dtype)
 
-    if config.impl == "pallas_grad":
+    if config.impl in ("pallas_grad", "pallas_grad_interpret"):
         from vidu4d_tpu.ops.rasterize.common import project_splats
         from vidu4d_tpu.ops.rasterize.pallas_backward import (
             rasterize_pallas_grad_batch,
@@ -310,6 +316,8 @@ def render_surfels_batch(
         return rasterize_pallas_grad_batch(
             proj_b, colors_b, opacity, bg[0], height, width,
             tile=config.tile, span_cap=config.span_cap,
+            interpret=(config.impl == "pallas_grad_interpret"),
+            mesh=mesh,
         )
 
     def one(xyz_i, rot_i, intr_i, bg_i, dummy_i, extra_i):

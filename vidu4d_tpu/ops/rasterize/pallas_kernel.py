@@ -91,15 +91,21 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
     """Per-tile compositing kernel. When n_tiles_per_frame > 0, the grid
     spans multiple frames (batch dim folded into the grid: program t handles
     frame t // n_tiles_per_frame, tile t % n_tiles_per_frame) — ONE kernel
-    launch composites the whole batch instead of a vmap of launches."""
+    launch composites the whole batch instead of a vmap of launches.
+
+    tile_ids maps the LOCAL program id to the GLOBAL tile index (for pixel
+    coordinates / frame assignment). It is arange(num_tiles) single-device;
+    under shard_map each device gets its slice of the tile grid and the ids
+    keep the pixel math global while start/count stay locally indexed."""
     px_n = tile * tile
 
-    def kernel(start_ref, count_ref, props_hbm, bg_ref,
+    def kernel(tile_ids_ref, start_ref, count_ref, props_hbm, bg_ref,
                color_ref, aux_ref, scratch, sem):
         t = pl.program_id(0)
         start = start_ref[t]
         count = count_ref[t]
-        tl = t % n_tiles_per_frame if n_tiles_per_frame else t
+        tg = tile_ids_ref[t]
+        tl = tg % n_tiles_per_frame if n_tiles_per_frame else tg
         base_x = (tl % tiles_x) * tile
         base_y = (tl // tiles_x) * tile
 
@@ -352,22 +358,25 @@ def pack_props(proj: common.SplatProjection, colors, opacities,
 def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
                          tiles_x: int, tiles_y: int, tile: int,
                          n_extra: int = 0, n_frames: int = 1,
-                         interpret: bool = False):
+                         interpret: bool = False, tile_ids=None):
     """Tile-space forward: returns (color (F*T,px,3+n_extra), aux (F*T,px,12)).
 
     With n_frames > 1 the tables/outputs concatenate frames along the tile
     axis and the slab concatenates per-frame entry segments (tile_start is
-    pre-offset by the caller)."""
-    num_tiles = tiles_x * tiles_y * n_frames
+    pre-offset by the caller). tile_ids: optional (T_local,) global tile
+    index per program (shard_map slices; defaults to arange)."""
+    num_tiles = tile_start.shape[0]
     px_n = tile * tile
     n_entries = slab.shape[1]
     nchan = 3 + n_extra
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     kernel = _make_kernel(
         tiles_x, tile, n_entries, n_extra=n_extra,
         n_tiles_per_frame=(tiles_x * tiles_y if n_frames > 1 else 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -396,7 +405,7 @@ def forward_tiles_pallas(slab, tile_start, tile_count, bg_color,
             jax.ShapeDtypeStruct((num_tiles, px_n, 12), jnp.float32),
         ),
         interpret=interpret,
-    )(tile_start, tile_count, slab, bg[None, :])
+    )(tile_ids, tile_start, tile_count, slab, bg[None, :])
 
 
 @functools.partial(
