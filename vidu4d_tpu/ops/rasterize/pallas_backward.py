@@ -86,6 +86,7 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
     # used grad rows are [0, 18 + n_extra); HBM slices must be aligned to
     # the (8, 128) tiling, so round up to a sublane multiple
     ng = -(-(_EXTRA + n_extra) // 8) * 8
+    n_chunks_total = n_entries // CHUNK
 
     def kernel(tile_ids_ref, start_ref, count_ref, props_hbm, cot_ref,
                resid_ref, grads_in_hbm, grads_hbm, scratch, gscratch, sem,
@@ -125,7 +126,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
         # d L / d T_fin: alpha output = 1 - T_fin, color += T_fin * bg
         g_tfin = -g_a + g_bgdot
 
-        base0 = (start // CHUNK) * CHUNK
+        first_chunk = start // CHUNK
+        base0 = first_chunk * CHUNK
         # entries past the tile-wide max contributor rank have exactly zero
         # gradient (ok requires rank < n_contrib) — skip their chunks and
         # RMW DMAs entirely (the backward mirror of forward.cu:401-406).
@@ -136,32 +138,36 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             count_eff > 0, pl.cdiv(start + count_eff - base0, CHUNK), 0
         )
 
-        def chunk_base(ci):
+        # chunk-major slabs (N, rows, CHUNK): each DMA moves one whole
+        # leading-index block (see pack_props on why not flat (rows, E))
+        def chunk_idx(ci):
             c = num_chunks - 1 - ci  # reverse order
-            base = jnp.minimum(base0 + c * CHUNK, n_entries - CHUNK)
-            return pl.multiple_of(base, CHUNK)
+            return jnp.minimum(first_chunk + c, n_chunks_total - 1)
+
+        def chunk_base(ci):
+            return chunk_idx(ci) * CHUNK
 
         def props_copy(ci, slot):
             return pltpu.make_async_copy(
-                props_hbm.at[:, pl.ds(chunk_base(ci), CHUNK)],
+                props_hbm.at[chunk_idx(ci)],
                 scratch.at[slot], sem.at[slot],
             )
 
         # grads RMW is double-buffered too: read chunk ci+1 / write chunk
         # ci-1 ride under chunk ci's compute. Chunk ranges within a tile are
-        # disjoint (the slab pad guarantees chunk_base never clamps), and
+        # disjoint (the slab pad guarantees chunk_idx never clamps), and
         # the end-of-tile waits below retire every write before the next
         # grid step can read an overlapping aligned-down range.
         def gread(ci, slot):
             return pltpu.make_async_copy(
-                grads_hbm.at[:ng, pl.ds(chunk_base(ci), CHUNK)],
+                grads_hbm.at[chunk_idx(ci), :ng],
                 gscratch.at[slot], gsem_r.at[slot],
             )
 
         def gwrite(ci, slot):
             return pltpu.make_async_copy(
                 gscratch.at[slot],
-                grads_hbm.at[:ng, pl.ds(chunk_base(ci), CHUNK)],
+                grads_hbm.at[chunk_idx(ci), :ng],
                 gsem_w.at[slot],
             )
 
@@ -375,7 +381,7 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                      "interpret"),
 )
 def backward_pallas(
-    slab: jax.Array,  # (32, E) transposed prop slab (forward layout)
+    slab: jax.Array,  # (N, 32, CHUNK) chunk-major prop slab (forward layout)
     tile_start: jax.Array,
     tile_count: jax.Array,
     cot: jax.Array,  # (num_tiles, px_n, 10+X): gC(3) gD gA gN(3) gBGdot gDist gX
@@ -388,11 +394,12 @@ def backward_pallas(
     interpret: bool = False,
     tile_ids: jax.Array = None,
 ) -> jax.Array:
-    """Per-entry gradient slab (32, E)."""
+    """Per-entry gradient slab (N, 32, CHUNK), same layout as the input."""
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
     num_tiles = tile_start.shape[0]
     px_n = tile * tile
-    n_entries = slab.shape[1]
+    n_chunks = slab.shape[0]
+    n_entries = n_chunks * CHUNK
     if tile_ids is None:
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 
@@ -426,14 +433,14 @@ def backward_pallas(
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_F, n_entries), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, _F, CHUNK), jnp.float32),
         input_output_aliases={6: 0},  # zeros input (after 3 scalar-prefetch + 3 operands) aliases the output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: RMW chunks safe
         ),
     )(tile_ids, tile_start, tile_count, slab, cot, resid,
-      jnp.zeros((_F, n_entries), jnp.float32))
+      jnp.zeros((n_chunks, _F, CHUNK), jnp.float32))
     return grads
 
 
@@ -604,9 +611,9 @@ def rasterize_pallas_grad_batch(
     opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
     slab_b = jax.vmap(pack_props)(
         proj_b, colors_b, opac_b, binning.sorted_splat_ids
-    )  # (M, 32, E_pad)
-    e_pad = slab_b.shape[-1]
-    slab = jnp.swapaxes(slab_b, 0, 1).reshape(slab_b.shape[1], m * e_pad)
+    )  # (M, N, 32, CHUNK) chunk-major per frame
+    e_pad = slab_b.shape[1] * slab_b.shape[3]  # entries per frame segment
+    slab = slab_b.reshape((-1,) + slab_b.shape[2:])  # (M*N, 32, CHUNK)
     offs = (jnp.arange(m, dtype=jnp.int32) * e_pad)[:, None]
     tile_start = (binning.tile_start + offs).reshape(-1)
     tile_count = binning.tile_count.reshape(-1)
@@ -630,7 +637,8 @@ def rasterize_pallas_grad_batch(
             spec_t = P(axes)
             run = jax.shard_map(
                 core, mesh=mesh,
-                in_specs=(P(None, None), spec_t, spec_t, spec_t, P(None)),
+                in_specs=(P(None, None, None), spec_t, spec_t, spec_t,
+                          P(None)),
                 out_specs=(P(axes, None, None), P(axes, None, None)),
                 check_vma=False,
             )
