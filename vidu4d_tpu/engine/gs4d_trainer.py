@@ -226,12 +226,19 @@ class Stage3Trainer:
         else:
             default_impl = "pallas_grad"
         impl = opts.get("raster_impl") or default_impl
+        # entry_cap (pallas paths): static prefix cap on sorted entries per
+        # frame. 2^19 ≈ 1.4x the densest converged 200k/256^2 scene measured
+        # (386k entries) — exact there, and shrinks the pack/backward-scatter
+        # work ~6x vs the full P*span^2 duplication. truncated_entries
+        # telemetry reports any overflow per round.
+        default_cap = 2 ** 19 if impl.startswith("pallas") else 0
         self.raster_cfg = RasterizeConfig(
             tile=opts.get("raster_tile", 16),
             span_cap=opts.get("raster_span_cap", 4),
             budget=opts.get("raster_budget", 1024),
             tile_chunk=opts.get("raster_tile_chunk", 16),
             impl=impl,
+            entry_cap=int(opts.get("raster_entry_cap", default_cap) or 0),
         )
         self._train_step = self._build_train_step()
 
@@ -564,6 +571,13 @@ class Stage3Trainer:
                     truncated = jnp.sum(
                         jnp.maximum(hist - raster_cfg.budget, 0)
                     )
+                elif raster_cfg.entry_cap:
+                    # pallas: entries past the static entry_cap drop from the
+                    # sorted tail (exact when the frame fits under the cap)
+                    entries = jnp.sum(
+                        jnp.where(rects.valid, rects.span_x * rects.span_y, 0)
+                    )
+                    truncated = jnp.maximum(entries - raster_cfg.entry_cap, 0)
                 else:
                     truncated = jnp.int32(0)
                 return safe_norm(vs, axis=-1), rects.valid, proj.radius, overflow, truncated

@@ -317,7 +317,7 @@ def render_surfels_batch(
             proj_b, colors_b, opacity, bg[0], height, width,
             tile=config.tile, span_cap=config.span_cap,
             interpret=(config.impl == "pallas_grad_interpret"),
-            mesh=mesh,
+            mesh=mesh, entry_cap=config.entry_cap,
         )
 
     def one(xyz_i, rot_i, intr_i, bg_i, dummy_i, extra_i):

@@ -39,6 +39,13 @@ class RasterizeConfig(NamedTuple):
     # "pallas": fused streaming TPU kernel fwd (no per-tile budget)
     # "naive": O(P·HW) oracle (tests)
     impl: str = "tiles"
+    # Pallas paths: static cap on SORTED entries packed per frame (0 = the
+    # full P*span_cap^2 duplication). Valid entries sort to the front, so
+    # results are EXACT whenever the frame's entry count stays under the
+    # cap; beyond it the global tail (highest tile ids) drops and the
+    # trainer's truncated_entries telemetry reports it. Shrinks the pack
+    # gather / grads slab / backward scatter by ~P*span^2/cap.
+    entry_cap: int = 0
 
 
 def _camera_center(viewmat: jax.Array) -> jax.Array:
@@ -116,6 +123,7 @@ def rasterize(
         return rasterize_pallas_grad(
             proj, colors, opacities, bg_color, height, width,
             tile=config.tile, span_cap=config.span_cap,
+            entry_cap=config.entry_cap,
         )
     raise ValueError(f"unknown rasterizer impl {config.impl!r}")
 

@@ -215,6 +215,29 @@ def compute_tile_rects(
     )
 
 
+def cap_binning(binning: "TileBinning", entry_cap: int,
+                chunk: int = 128) -> "TileBinning":
+    """Static prefix cap on the sorted entry list (Pallas paths).
+
+    Valid entries sort to the front (sentinels at the end), so truncating
+    to `entry_cap` is EXACT whenever num_entries <= cap; past it the global
+    tail (highest tile ids) drops — observable via num_entries vs cap.
+    Works on single or batched (leading-dim) binnings."""
+    if not entry_cap:
+        return binning
+    cap = -(-entry_cap // chunk) * chunk
+    e = binning.sorted_splat_ids.shape[-1]
+    if cap >= e:
+        return binning
+    start = jnp.minimum(binning.tile_start, cap)
+    count = jnp.minimum(binning.tile_start + binning.tile_count, cap) - start
+    return binning._replace(
+        sorted_splat_ids=binning.sorted_splat_ids[..., :cap],
+        tile_start=start,
+        tile_count=count,
+    )
+
+
 def bin_splats(
     proj: SplatProjection,
     height: int,

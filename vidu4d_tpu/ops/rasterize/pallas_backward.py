@@ -508,7 +508,8 @@ def _make_core(tiles_x: int, tiles_y: int, tile: int, interpret: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "tile", "span_cap", "interpret"),
+    static_argnames=("height", "width", "tile", "span_cap", "interpret",
+                     "entry_cap"),
 )
 def rasterize_pallas_grad(
     proj,
@@ -520,6 +521,7 @@ def rasterize_pallas_grad(
     tile: int = 16,
     span_cap: int = 4,
     interpret: bool = False,
+    entry_cap: int = 0,
 ):
     """Differentiable Pallas rasterization (fwd + analytic bwd kernels).
 
@@ -532,6 +534,7 @@ def rasterize_pallas_grad(
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
     n_extra = colors.shape[-1] - 3
     binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
+    binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
     slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
     core = _make_core(tiles_x, tiles_y, tile, interpret, n_extra=n_extra)
     nchan = 3 + n_extra
@@ -567,7 +570,7 @@ def rasterize_pallas_grad(
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile", "span_cap", "interpret",
-                     "mesh", "shard_axes"),
+                     "mesh", "shard_axes", "entry_cap"),
 )
 def rasterize_pallas_grad_batch(
     proj_b,  # SplatProjection with (M, P, ...) fields (vmapped projection)
@@ -581,6 +584,7 @@ def rasterize_pallas_grad_batch(
     interpret: bool = False,
     mesh=None,
     shard_axes: tuple = ("data", "surfel"),
+    entry_cap: int = 0,
 ):
     """Differentiable batched Pallas rasterization: the frame dim is folded
     into the kernel grid (grid = M * num_tiles over one concatenated entry
@@ -608,6 +612,7 @@ def rasterize_pallas_grad_batch(
         lambda pr: common.bin_splats(pr, height, width, tile=tile,
                                      span_cap=span_cap)
     )(proj_b)
+    binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
     opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
     slab_b = jax.vmap(pack_props)(
         proj_b, colors_b, opac_b, binning.sorted_splat_ids

@@ -5,14 +5,20 @@ The reference extracts dinov2_vits14 patch tokens via torch.hub
 tokens -> bilinear 112x112, PCA to 16 dims, L2-normalized, masked, fp16.
 
 This module keeps the exact on-disk contract and post-processing (PCA-16,
-normalization, masking, resolution) with two backbones:
+normalization, masking, resolution) with three backbones:
 
+* `featnet` (default when its weights ship): the in-repo-trained dense
+  descriptor net (`preprocess/featnet.py`, scripts/train_featnet.py) —
+  self-supervised InfoNCE on procedural warps, the same recipe as the
+  shipped RAFT flow weights.
 * `vit`: a HuggingFace ViT/DINOv2 checkpoint when weights are available
   locally (zero-egress environments can mount them).
-* `hog` (default fallback): a hand-rolled multi-scale histogram-of-gradients
+* `hog` (fallback): a hand-rolled multi-scale histogram-of-gradients
   + color descriptor in pure JAX — deterministic, dense, and strong enough
   to drive the softmax feature-matching losses; documented as a fallback,
   not a DINOv2-parity claim.
+
+Select with backbone="auto"|"featnet"|"hog" or VIDU4D_FEAT_BACKEND.
 """
 
 from __future__ import annotations
@@ -62,21 +68,49 @@ def hog_color_features(img: jax.Array, out_res: int = 112, feat_dim: int = 48):
     return jnp.concatenate(feats, axis=-1)
 
 
+def _featnet_backend():
+    """(model, params) when the trained descriptor weights exist, else None.
+    Opt out with VIDU4D_FEAT_BACKEND=hog."""
+    import os
+
+    if os.environ.get("VIDU4D_FEAT_BACKEND", "") == "hog":
+        return None
+    from vidu4d_tpu.preprocess.featnet import FeatNet, load_weights
+
+    params = load_weights()
+    if params is None:
+        return None
+    return FeatNet(), params
+
+
 def extract_video_features(
     frames: np.ndarray,  # (T, H, W, 3) in [0, 1]
     masks: Optional[np.ndarray] = None,  # (T, H, W) bool
     out_res: int = 112,
     n_components: int = 16,
-    backbone: str = "hog",
+    backbone: str = "auto",
 ) -> np.ndarray:
     """Per-frame features with PCA-16 + L2 norm + masking
     (`extract_dinov2.py:96-167`). Returns (T, out_res, out_res, 16) fp16."""
-    if backbone != "hog":
+    net = _featnet_backend() if backbone in ("auto", "featnet") else None
+    if backbone == "featnet" and net is None:
+        raise NotImplementedError("featnet backbone requires trained weights")
+    if backbone not in ("auto", "featnet", "hog"):
         raise NotImplementedError(
             "vit backbone requires local weights; use backbone='hog'"
         )
     feats = []
-    fn = jax.jit(lambda f: hog_color_features(f, out_res=out_res))
+    if net is not None:
+        model, params = net
+
+        @jax.jit
+        def fn(f):
+            d = model.apply(params, f[None])[0]  # (H/2, W/2, D)
+            return jax.image.resize(
+                d, (out_res, out_res, d.shape[-1]), "bilinear"
+            )
+    else:
+        fn = jax.jit(lambda f: hog_color_features(f, out_res=out_res))
     for f in frames:
         feats.append(np.asarray(fn(jnp.asarray(f, jnp.float32))))
     feats = np.stack(feats)  # (T, R, R, D)
