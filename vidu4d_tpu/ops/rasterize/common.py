@@ -238,6 +238,30 @@ def cap_binning(binning: "TileBinning", entry_cap: int,
     )
 
 
+def bin_splats_batch(
+    proj_b: SplatProjection,
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+) -> TileBinning:
+    """bin_splats over a leading frame dim, unrolled as M independent sorts.
+
+    NOT a jax.vmap: XLA lowers a batched variadic `lax.sort` on TPU ~3x
+    slower than M independent sorts (measured at M=2, P=200k, span_cap=4:
+    77.6 ms vmapped vs 24.4 ms unrolled — the batched sort comparator
+    defeats the fast int-sort path). M is small and static, so a python
+    unroll compiles to M parallel-schedulable sorts.
+    """
+    m = proj_b.depth.shape[0]
+    outs = [
+        bin_splats(jax.tree.map(lambda x: x[f], proj_b), height, width,
+                   tile=tile, span_cap=span_cap)
+        for f in range(m)
+    ]
+    return jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+
 def bin_splats(
     proj: SplatProjection,
     height: int,

@@ -608,15 +608,18 @@ def rasterize_pallas_grad_batch(
     m = proj_b.depth.shape[0]
     n_extra = colors_b.shape[-1] - 3
 
-    binning = jax.vmap(
-        lambda pr: common.bin_splats(pr, height, width, tile=tile,
-                                     span_cap=span_cap)
-    )(proj_b)
+    binning = common.bin_splats_batch(proj_b, height, width, tile=tile,
+                                      span_cap=span_cap)
     binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
     opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
-    slab_b = jax.vmap(pack_props)(
-        proj_b, colors_b, opac_b, binning.sorted_splat_ids
-    )  # (M, N, 32, CHUNK) chunk-major per frame
+    # unrolled like bin_splats_batch: a vmapped gather's transpose is a
+    # *batched* scatter-add, which XLA lowers far slower than M independent
+    # scatters (same pathology as the batched sort)
+    slab_b = jnp.stack([
+        pack_props(jax.tree.map(lambda x: x[f], proj_b), colors_b[f],
+                   opac_b[f], binning.sorted_splat_ids[f])
+        for f in range(m)
+    ])  # (M, N, 32, CHUNK) chunk-major per frame
     e_pad = slab_b.shape[1] * slab_b.shape[3]  # entries per frame segment
     slab = slab_b.reshape((-1,) + slab_b.shape[2:])  # (M*N, 32, CHUNK)
     offs = (jnp.arange(m, dtype=jnp.int32) * e_pad)[:, None]
