@@ -395,6 +395,15 @@ def main():
                 if ln.startswith("{"):
                     line = ln
             if line and proc.returncode == 0:
+                if (surfels, res) != fallbacks[0]:
+                    # the advertised workload died — say so in the output
+                    # instead of silently reporting the smaller run
+                    obj = json.loads(line)
+                    obj.setdefault("detail", {})["fallback_from"] = {
+                        "surfels": fallbacks[0][0], "res": fallbacks[0][1],
+                        "error": last_err,
+                    }
+                    line = json.dumps(obj)
                 print(line)
                 return
             if line:

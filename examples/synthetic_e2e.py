@@ -188,6 +188,12 @@ def main():
     ap.add_argument("--flow_wt", type=float, default=None,
                     help="override stage-3 flow loss weight (ablations)")
     ap.add_argument("--depth_wt", type=float, default=None)
+    ap.add_argument("--raster_budget", type=int, default=512,
+                    help="stage-3 per-tile entry budget (sweep: VERDICT r2 #5)")
+    ap.add_argument("--s3_logname", default="s3",
+                    help="stage-3 logdir name; set per budget-sweep point so "
+                         "runs sharing --out (and its stage-1/2 artifacts via "
+                         "--resume) train independent stage-3 models")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose artifacts already exist in --out "
                          "(crash recovery: stage-3 resumes from its latest "
@@ -254,13 +260,14 @@ def main():
 
     t0 = time.time()
     s3 = Stage3Trainer({
-        **common, "logname": "s3", "pixels_per_image": -1, "imgs_per_gpu": 1,
+        **common, "logname": args.s3_logname,
+        "pixels_per_image": -1, "imgs_per_gpu": 1,
         "num_rounds": args.s3_rounds, "iters_per_round": args.s3_iters,
         # checkpoint every 4 rounds: a flaky-backend crash resumes from the
         # last multiple of 4 instead of restarting stage 3 from scratch
         "save_freq": min(4, args.s3_rounds), "fg_motion": "gs-bob",
         "gs_capacity": 40000, "gs_init_samples": 20000, "sh_degree": 1,
-        "raster_budget": 512, "raster_tile_chunk": 4,
+        "raster_budget": args.raster_budget, "raster_tile_chunk": 4,
         "gs_init_mesh": mesh if os.path.exists(mesh) else "",
         "densify_from_iter": 50, "densification_interval": 100,
         "opacity_reset_interval": 10_000, "outlier_filtering_interval": 10_000,
@@ -303,10 +310,11 @@ def main():
 
     from vidu4d_tpu.utils.io import save_vid
 
-    save_vid(os.path.join(args.out, "render_vs_gt"),
+    suffix = "" if args.s3_logname == "s3" else f"_{args.s3_logname}"
+    save_vid(os.path.join(args.out, f"render_vs_gt{suffix}"),
              [np.concatenate([r, g], axis=1)
               for r, g in zip(rendered["rendered"], gt)])
-    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+    with open(os.path.join(args.out, f"metrics{suffix}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2), flush=True)
 

@@ -78,3 +78,23 @@ def test_estimate_depth_auto_backend(tmp_path, monkeypatch):
     assert d.shape == (2, 20, 20) and d.dtype == np.float16
     assert np.isfinite(d.astype(np.float32)).all()
     assert d.astype(np.float32).min() >= 0.4
+
+
+def test_ranking_loss_orders():
+    """Perfectly ordered disparity -> ~0; inverted ordering -> large."""
+    from vidu4d_tpu.preprocess.depthnet import ranking_loss
+
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(rng.uniform(0.5, 4.0, (2, 16, 16)), jnp.float32)
+    mask = jnp.ones_like(depth)
+    key = jax.random.PRNGKey(0)
+    good = 1.0 / depth          # correct order, big margin
+    bad = depth                 # inverted order
+    lg = float(ranking_loss(good, depth, mask, key))
+    lb = float(ranking_loss(bad, depth, mask, key))
+    # correctly-ordered close pairs still pay a sliver of the margin hinge
+    assert lg < 0.1 and lg < lb / 5, (lg, lb)
+    assert lb > 0.3, lb
+    # gradient flows
+    g = jax.grad(lambda p: ranking_loss(p, depth, mask, key))(bad)
+    assert float(jnp.abs(g).max()) > 0

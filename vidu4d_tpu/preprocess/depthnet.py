@@ -128,6 +128,38 @@ def depth_loss(pred_disp: jax.Array, gt_depth: jax.Array,
             + grad_wt * gradient_loss(pred_disp, gt_disp, mask))
 
 
+def ranking_loss(pred_disp: jax.Array, gt_depth: jax.Array, mask: jax.Array,
+                 key: jax.Array, n_pairs: int = 768, margin: float = 0.05,
+                 rel_tau: float = 0.03) -> jax.Array:
+    """Pairwise ordinal hinge (DIW-style): directly optimizes depth ORDER.
+
+    Samples random pixel pairs per image; pairs whose GT depths differ by
+    more than ``rel_tau`` relatively must have disparities ordered the
+    right way by at least ``margin`` of the per-image disparity spread.
+    Alignment-free, so it complements the affine-invariant SSI terms and
+    targets exactly the depth-order metric the downstream camera
+    registration consumes.
+    """
+    b = pred_disp.shape[0]
+    hw = pred_disp.shape[1] * pred_disp.shape[2]
+    k1, k2 = jax.random.split(key)
+    ii = jax.random.randint(k1, (b, n_pairs), 0, hw)
+    jj = jax.random.randint(k2, (b, n_pairs), 0, hw)
+    pd = pred_disp.reshape(b, -1)
+    gd = gt_depth.reshape(b, -1)
+    mm = mask.reshape(b, -1)
+    take = jnp.take_along_axis
+    pi, pj = take(pd, ii, 1), take(pd, jj, 1)
+    gi, gj = take(gd, ii, 1), take(gd, jj, 1)
+    valid = take(mm, ii, 1) * take(mm, jj, 1)
+    rel = (gj - gi) / jnp.maximum(jnp.minimum(gi, gj), 1e-3)
+    informative = (jnp.abs(rel) > rel_tau) * valid
+    sgn = jnp.sign(rel)  # +1: i nearer -> disparity_i should exceed j's
+    spread = jnp.maximum(pd.max(1) - pd.min(1), 1e-3)[:, None]
+    viol = jax.nn.relu(margin - sgn * (pi - pj) / spread)
+    return (viol * informative).sum() / jnp.maximum(informative.sum(), 1.0)
+
+
 def disparity_to_depth(disp: jax.Array, lo: float = 0.5,
                        hi: float = 4.0) -> jax.Array:
     """Map relative disparity to depth in [lo, hi] per image (the affine
