@@ -14,9 +14,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# self-sufficient import path: do NOT ask users to set PYTHONPATH=. — on
+# hosts where PYTHONPATH already carries platform hooks (e.g. a PJRT
+# plugin's sitecustomize dir), overriding it silently breaks the backend
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):

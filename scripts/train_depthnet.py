@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from vidu4d_tpu.preprocess.depthnet import (
-    DepthNet, align_affine, depth_loss, save_weights,
+    DepthNet, align_affine, depth_loss, ranking_loss, save_weights,
 )
 
 
@@ -47,27 +47,88 @@ def _texture(rng, res, scales=(4, 8, 16, 32)):
     return img
 
 
+def _shape_points(rng, n):
+    """Surface points + outward normals for a random shape family.
+
+    VERDICT r2 #7: scene diversity beyond gaussian blobs — spheres,
+    ellipsoids, tori, and boxes give the net occlusion boundaries and
+    shading cues of varied curvature, like the object zoo ZoeDepth saw.
+    """
+    kind = rng.integers(0, 4)
+    if kind == 0:  # sphere
+        p = rng.normal(size=(n, 3))
+        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-6)
+        nrm = p.copy()
+    elif kind == 1:  # ellipsoid
+        axes = rng.uniform(0.35, 1.0, size=(3,))
+        p = rng.normal(size=(n, 3))
+        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-6)
+        nrm = p / axes  # gradient of the implicit form
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-6)
+        p = p * axes
+    elif kind == 2:  # torus (tube ratio ~0.35)
+        th = rng.uniform(0, 2 * np.pi, size=n)
+        ph = rng.uniform(0, 2 * np.pi, size=n)
+        rt = 0.35
+        p = np.stack([(1 + rt * np.cos(ph)) * np.cos(th),
+                      (1 + rt * np.cos(ph)) * np.sin(th),
+                      rt * np.sin(ph)], -1) / (1 + rt)
+        nrm = np.stack([np.cos(ph) * np.cos(th), np.cos(ph) * np.sin(th),
+                        np.sin(ph)], -1)
+    else:  # box surface
+        face = rng.integers(0, 6, size=n)
+        uv = rng.uniform(-1, 1, size=(n, 2))
+        p = np.zeros((n, 3))
+        nrm = np.zeros((n, 3))
+        ax, sign = face % 3, np.where(face < 3, 1.0, -1.0)
+        for a in range(3):
+            m = ax == a
+            others = [b for b in range(3) if b != a]
+            p[m, a] = sign[m]
+            p[m, others[0]] = uv[m, 0]
+            p[m, others[1]] = uv[m, 1]
+            nrm[m, a] = sign[m]
+        p *= 0.7
+    # random rotation of the whole shape
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    rot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    return (p @ rot.T).astype(np.float32), (nrm @ rot.T).astype(np.float32)
+
+
 def make_scene(rng, res, n_blobs=None):
     """One rendered scene: rgb (res,res,3), depth (res,res), valid mask."""
     from vidu4d_tpu.models.gaussian import surfels as sf
     from vidu4d_tpu.ops.rasterize import RasterizeConfig, rasterize
 
-    n_blobs = n_blobs or rng.integers(2, 6)
+    light = rng.normal(size=3)
+    light /= np.linalg.norm(light)
+    light[2] = -abs(light[2])  # from the camera half-space
+
+    n_blobs = n_blobs or rng.integers(2, 7)
     pts, cols, scales_log = [], [], []
     for _ in range(n_blobs):
-        n = int(rng.integers(60, 200))
+        n = int(rng.integers(80, 240))
         ctr = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35),
                         rng.uniform(0.8, 3.0)], np.float32)
         rad = rng.uniform(0.05, 0.25)
-        p = rng.normal(size=(n, 3)).astype(np.float32)
-        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1e-6)
-        p = ctr + p * rad * rng.uniform(0.6, 1.0, size=(n, 1))
+        p, nrm = _shape_points(rng, n)
+        p = ctr + p * rad * rng.uniform(0.85, 1.0, size=(n, 1))
         base = rng.uniform(0.1, 1.0, size=(1, 3))
         c = np.clip(base + rng.normal(0, 0.15, size=(n, 3)), 0, 1)
+        # Lambertian shading: the shape-from-shading cue monodepth nets use
+        lam = 0.35 + 0.65 * np.clip(-(nrm @ light), 0, 1)[:, None]
         pts.append(p)
-        cols.append(c.astype(np.float32))
+        cols.append((c * lam).astype(np.float32))
         scales_log.append(np.full((n,), np.log(rad * 0.35), np.float32))
-    # background plane of large far splats (textured wall)
+    # background: textured far wall, plus (usually) a tilted textured ground
+    # plane sweeping near->far — the strongest global depth-gradient cue in
+    # real video, absent from round 2's frontal-wall-only scenes
     nb = 256
     gx, gy = np.meshgrid(np.linspace(-2, 2, 16), np.linspace(-2, 2, 16))
     bgz = rng.uniform(3.5, 5.0)
@@ -77,6 +138,17 @@ def make_scene(rng, res, n_blobs=None):
     pts.append(bgp.astype(np.float32))
     cols.append(tex.astype(np.float32))
     scales_log.append(np.full((nb,), np.log(0.25), np.float32))
+    if rng.uniform() < 0.7:
+        gx, gz = np.meshgrid(np.linspace(-2, 2, 16),
+                             np.linspace(0.6, bgz, 16))
+        floor_y = rng.uniform(0.35, 0.7)
+        fp = np.stack([gx.ravel(), np.full(nb, floor_y), gz.ravel()], -1)
+        fp += rng.normal(0, 0.03, fp.shape)
+        ftex = _texture(rng, 16).reshape(-1, 3)
+        pts.append(fp.astype(np.float32))
+        cols.append(ftex.astype(np.float32))
+        # splat size grows with distance so the floor stays hole-free
+        scales_log.append(np.log(0.06 + 0.05 * gz.ravel()).astype(np.float32))
 
     pts = np.concatenate(pts)
     cols = np.concatenate(cols)
@@ -84,7 +156,7 @@ def make_scene(rng, res, n_blobs=None):
 
     # pad to a FIXED capacity so the rasterizer compiles once for the whole
     # training run (variable splat counts = one XLA compile per scene)
-    cap = 1536
+    cap = 2560
     n = len(pts)
     if n < cap:
         pad = cap - n
@@ -134,6 +206,37 @@ def make_batch(rng, res, batch):
             jnp.asarray(np.stack(vals)))
 
 
+class ScenePool:
+    """Pre-rendered scene pool: scene generation is host-side (one CPU
+    core) + rasterizer dispatches, ~0.5 s/scene — generating fresh scenes
+    every step would starve the TPU. A pool of a few hundred scenes with
+    per-step photometric jitter + flips keeps steps TPU-bound while still
+    varying the network's input each epoch."""
+
+    def __init__(self, rng, res, size):
+        self.rng = rng
+        self.rgb = np.zeros((size, res, res, 3), np.float32)
+        self.dep = np.zeros((size, res, res), np.float32)
+        for i in range(size):
+            r, d, _ = make_scene(rng, res)
+            self.rgb[i], self.dep[i] = r, d
+            if i % 100 == 0:
+                print(f"  scene pool {i}/{size}", flush=True)
+
+    def batch(self, batch):
+        rng = self.rng
+        idx = rng.integers(0, len(self.rgb), size=batch)
+        r = self.rgb[idx].copy()
+        d = self.dep[idx].copy()
+        flip = rng.uniform(size=batch) < 0.5
+        r[flip] = r[flip, :, ::-1]
+        d[flip] = d[flip, :, ::-1]
+        r = np.clip(r * rng.uniform(0.7, 1.3, size=(batch, 1, 1, 1))
+                    + rng.normal(0, 0.02, r.shape), 0, 1).astype(np.float32)
+        val = np.ones_like(d, np.float32)
+        return jnp.asarray(r), jnp.asarray(d), jnp.asarray(val)
+
+
 def order_accuracy(disp, depth, rng, n_pairs=2000):
     """Fraction of random pixel pairs whose predicted depth ORDER matches
     GT (disparity flips the sign) — the alignment-free ranking metric."""
@@ -154,6 +257,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--rank_wt", type=float, default=1.0)
+    ap.add_argument("--pool", type=int, default=512,
+                    help="pre-rendered scene pool size (0: fresh every step)")
     ap.add_argument("--out", default="vidu4d_tpu/weights/depthnet_synthetic.npz")
     args = ap.parse_args()
 
@@ -169,20 +275,28 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, rgb, dep, val):
+    def step(params, opt_state, rgb, dep, val, key):
         def loss_fn(p):
             disp = model.apply(p, rgb)
-            return depth_loss(disp, dep, val)
+            # SSI-MAE + gradient matching for metric structure, plus the
+            # pairwise ordinal hinge that directly targets the depth-order
+            # metric camera registration consumes (VERDICT r2 #7)
+            return (depth_loss(disp, dep, val)
+                    + args.rank_wt * ranking_loss(disp, dep, val, key))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    pool = ScenePool(rng, args.res, args.pool) if args.pool else None
     t0 = time.time()
+    key = jax.random.PRNGKey(1)
     for it in range(args.steps):
-        rgb, dep, val = make_batch(rng, args.res, args.batch)
-        params, opt_state, loss = step(params, opt_state, rgb, dep, val)
+        rgb, dep, val = (pool.batch(args.batch) if pool
+                         else make_batch(rng, args.res, args.batch))
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, rgb, dep, val, sub)
         if it % 100 == 0 or it == args.steps - 1:
             print(f"step {it}: loss={float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)

@@ -176,3 +176,66 @@ def test_sh_color_path(rng):
         shs=shs, sh_degree=0, config=RasterizeConfig(budget=64),
     )
     assert np.isfinite(np.asarray(out.color)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("sharded_parity")
+def test_tiles_batch_mesh_parity(rng):
+    """Mesh-partitioned batched tiles path (the CPU/multi-chip fallback
+    backend): the flat (frame, tile) grid shard_mapped over the 8-device
+    CPU mesh must match per-frame single-device tiles rasterization in
+    value AND gradients (replicated-input cotangent psum included)."""
+    from vidu4d_tpu.ops.rasterize.xla_tiles import (
+        rasterize_tiles_batch,
+        rasterize_tiles_from_projection,
+    )
+    from vidu4d_tpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+
+    means, quats, scales, opac, colors, viewmat, intrins = make_scene(rng, n=60)
+    shift = jnp.asarray([0.1, -0.05, 0.2], jnp.float32)
+    means_b = jnp.stack([means, means + shift])
+    colors_b = jnp.stack([colors, colors * 0.5])
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    H = W = 64  # 2 frames x 16 tiles = 32 grid slots over 8 devices
+
+    def proj_of(means_b):
+        return jax.vmap(
+            lambda mn: project_splats(mn, quats, scales, viewmat, intrins)
+        )(means_b)
+
+    def loss_mesh(means_b, colors_b, opac):
+        out = rasterize_tiles_batch(
+            proj_of(means_b), colors_b, opac, bg, H, W,
+            tile=16, span_cap=4, budget=128, tile_chunk=2, mesh=mesh,
+        )
+        return (
+            jnp.mean(out.color ** 2) + 0.2 * jnp.mean(out.alpha)
+            + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+        )
+
+    def loss_ref(means_b, colors_b, opac):
+        proj_b = proj_of(means_b)
+        outs = [
+            rasterize_tiles_from_projection(
+                jax.tree.map(lambda x: x[f], proj_b), colors_b[f], opac, bg,
+                H, W, tile=16, span_cap=4, budget=128, tile_chunk=2,
+            )
+            for f in range(2)
+        ]
+        out = jax.tree.map(lambda *x: jnp.stack(x), *outs)
+        return (
+            jnp.mean(out.color ** 2) + 0.2 * jnp.mean(out.alpha)
+            + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.distortion)
+        )
+
+    args = (means_b, colors_b, opac)
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(*args)
+    v2, g2 = jax.value_and_grad(loss_mesh, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b, name in zip(g1, g2, ["means_b", "colors_b", "opac"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4, err_msg=name
+        )

@@ -320,6 +320,39 @@ def render_surfels_batch(
             mesh=mesh, entry_cap=config.entry_cap,
         )
 
+    if config.impl == "tiles" and mesh is not None:
+        # mesh-partitioned batched tiles path: the per-frame lax.map tile
+        # loop cannot be partitioned by GSPMD (it would replicate on every
+        # surfel-axis device); rasterize_tiles_batch shard_maps the flat
+        # (frame, tile) grid over all mesh axes instead.
+        from vidu4d_tpu.ops.rasterize.common import project_splats
+        from vidu4d_tpu.ops.rasterize.xla_tiles import rasterize_tiles_batch
+
+        def colors_one(xyz_i, extra_i):
+            c = sh_ops.eval_sh_color(
+                sh_degree, shs, xyz_i, jnp.zeros((3,), xyz_i.dtype)
+            )
+            if extra_i is not None:
+                c = jnp.concatenate([c, extra_i], axis=-1)
+            return c
+
+        colors_b = (
+            jax.vmap(lambda x: colors_one(x, None))(xyz_cam)
+            if extra_colors is None
+            else jax.vmap(colors_one)(xyz_cam, extra_colors)
+        )
+        proj_b = jax.vmap(
+            lambda x, r, k, d: project_splats(
+                x, r, scaling, eye, k, mask=alive, densify_dummy=d
+            )
+        )(xyz_cam, rot_cam, intrins, densify_dummy)
+        return rasterize_tiles_batch(
+            proj_b, colors_b, opacity, bg[0], height, width,
+            tile=config.tile, span_cap=config.span_cap,
+            budget=config.budget, tile_chunk=config.tile_chunk,
+            mesh=mesh,
+        )
+
     def one(xyz_i, rot_i, intr_i, bg_i, dummy_i, extra_i):
         # SH at camera-space view dirs (camera center at origin)
         colors = sh_ops.eval_sh_color(
