@@ -20,6 +20,9 @@ RM_OUT=/tmp/e2e_r3_raymarch
 START=${1:-1}
 
 SCHED="--res 64 --frames 16 --s2_rounds 6 --s2_iters 120 --s3_rounds 24 --s3_iters 200"
+# ablation/sweep points only need comparative signal, not the headline
+# number — half-length stage 3 keeps the serial campaign inside the round
+HALF="--res 64 --frames 16 --s2_rounds 6 --s2_iters 120 --s3_rounds 12 --s3_iters 200"
 
 run() { # run <step> <name> <timeout> <cmd...>
   local step=$1 name=$2 to=$3; shift 3
@@ -32,13 +35,13 @@ run() { # run <step> <name> <timeout> <cmd...>
 }
 
 run 1 main    21600 python examples/synthetic_e2e.py --out $OUT $SCHED
-run 2 nofd    10800 python examples/synthetic_e2e.py --out $OUT $SCHED \
+run 2 nofd    10800 python examples/synthetic_e2e.py --out $OUT $HALF \
                 --resume --s3_logname s3_nofd --flow_wt 0 --depth_wt 0
-run 3 b256    10800 python examples/synthetic_e2e.py --out $OUT $SCHED \
+run 3 b256    10800 python examples/synthetic_e2e.py --out $OUT $HALF \
                 --resume --s3_logname s3_b256 --raster_budget 256
-run 4 b1024   10800 python examples/synthetic_e2e.py --out $OUT $SCHED \
+run 4 b1024   10800 python examples/synthetic_e2e.py --out $OUT $HALF \
                 --resume --s3_logname s3_b1024 --raster_budget 1024
-run 5 b4096   10800 python examples/synthetic_e2e.py --out $OUT $SCHED \
+run 5 b4096   10800 python examples/synthetic_e2e.py --out $OUT $HALF \
                 --resume --s3_logname s3_b4096 --raster_budget 4096
 run 6 raymarch 21600 python examples/synthetic_e2e.py --out $RM_OUT $SCHED \
                 --gt_source raymarch

@@ -214,5 +214,63 @@ def test_two_frame_registration_np_matches_jax(rng):
     rt_j = np.asarray(two_frame_registration(
         jnp.asarray(depth0), jnp.asarray(depth1), jnp.asarray(flow),
         jnp.asarray(kinv), jnp.asarray(kinv), jnp.asarray(mask)))
-    rt_n = two_frame_registration_np(depth0, depth1, flow, kinv, kinv, mask)
+    rt_n = two_frame_registration_np(depth0, depth1, flow, kinv, kinv, mask,
+                                     irls_iters=0, grad_weighting=False)
     np.testing.assert_allclose(rt_n, rt_j, atol=2e-4)
+
+
+def test_registration_irls_rejects_outliers(rng):
+    """The Tukey-IRLS path must recover a known small rigid motion despite
+    a contaminated depth lift, where the plain Kabsch fit is pulled far
+    off (the silhouette bilinear-blend failure mode)."""
+    from vidu4d_tpu.preprocess.registration import two_frame_registration_np
+
+    h = w = 32
+    f = 40.0
+    kinv = np.linalg.inv(
+        np.array([[f, 0, 16], [0, f, 16], [0, 0, 1]], np.float32))
+    k = np.linalg.inv(kinv).astype(np.float64)
+    ang = 0.08
+    rot = np.array([
+        [np.cos(ang), 0, np.sin(ang)],
+        [0, 1, 0],
+        [-np.sin(ang), 0, np.cos(ang)],
+    ])
+    t_gt = np.array([0.01, -0.005, 0.02])
+
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    depth0 = (0.6 + 0.04 * np.sin(gx / 5.0) * np.cos(gy / 7.0)).astype(
+        np.float32)
+    hp0 = np.stack([gx, gy, np.ones_like(gx)], -1).reshape(-1, 3)
+    p0 = (hp0 @ kinv.astype(np.float64).T) * depth0.reshape(-1, 1).astype(
+        np.float64)
+    p1 = p0 @ rot.T + t_gt
+    uv1 = p1 @ k.T
+    uv1 = uv1[:, :2] / uv1[:, 2:]
+    flow = (uv1 - hp0[:, :2]).reshape(h, w, 2).astype(np.float32)
+
+    # frame-1 depth image: interpolate the scattered (u1, z1) targets onto
+    # the pixel grid (smooth field, small flow -> faithful), then
+    # contaminate 8% of pixels with near-zero depth (the silhouette
+    # background-blend failure mode)
+    from scipy.interpolate import griddata
+
+    d1_img = griddata(uv1, p1[:, 2], (gx, gy), method="cubic")
+    d1_img = np.where(np.isnan(d1_img), p1[:, 2].reshape(h, w), d1_img)
+    bad = rng.random((h, w)) < 0.08
+    d1_noisy = np.where(bad, 0.05 * d1_img, d1_img).astype(np.float32)
+
+    def run(**kw):
+        return two_frame_registration_np(
+            depth0, d1_noisy, flow, kinv, kinv,
+            np.ones((h, w), np.float32), grad_weighting=False, **kw)
+
+    def rot_err(rt):
+        c = (np.trace(rt[:3, :3].T.astype(np.float64) @ rot) - 1.0) / 2.0
+        return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+
+    err_plain = rot_err(run(irls_iters=0))
+    err_irls = rot_err(run(irls_iters=5))
+    assert err_irls < 1.0, (err_plain, err_irls)
+    assert err_irls < 0.5 * err_plain, (err_plain, err_irls)
