@@ -296,7 +296,7 @@ def main():
 
     # ---- render reference views + PSNR ---------------------------------
     from vidu4d_tpu.utils.camera_trajectories import construct_batch
-    from vidu4d_tpu.ops.image_losses import psnr
+    from vidu4d_tpu.ops.image_losses import psnr, ssim
     import jax.numpy as jnp
 
     n_eval = min(args.frames - 1, 8)
@@ -310,8 +310,14 @@ def main():
         float(psnr(jnp.asarray(rendered["rendered"][i]), jnp.asarray(gt[i])))
         for i in range(n_eval)
     ]
+    ssims = [
+        float(ssim(jnp.asarray(rendered["rendered"][i]).transpose(2, 0, 1),
+                   jnp.asarray(gt[i]).transpose(2, 0, 1)))
+        for i in range(n_eval)
+    ]
     metrics["render_psnr_mean"] = round(float(np.mean(psnrs)), 3)
     metrics["render_psnr_per_frame"] = [round(p, 2) for p in psnrs]
+    metrics["render_ssim_mean"] = round(float(np.mean(ssims)), 4)
     metrics["total_s"] = round(time.time() - t_all, 1)
 
     from vidu4d_tpu.utils.io import save_vid

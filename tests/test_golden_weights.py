@@ -50,20 +50,25 @@ def test_shipped_raft_epe_golden():
 
 @pytest.mark.slow
 def test_shipped_depthnet_order_accuracy_golden():
+    """Scores the shipped weights on FROZEN rendered scenes
+    (tests/golden/depthnet_scenes.npz, generated once from the seed-777
+    scene stream) — regenerating the scenes on the fly coupled the golden
+    to the live scene generator, so improving training diversity broke it."""
     if not os.path.exists(_shipped("depthnet_synthetic.npz")):
         pytest.skip("no shipped depthnet weights")
     sys.path.insert(0, SCRIPTS)
-    from train_depthnet import make_scene, order_accuracy
+    from train_depthnet import order_accuracy
 
     from vidu4d_tpu.preprocess.depthnet import DepthNet, load_weights
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    scenes = np.load(os.path.join(here, "golden", "depthnet_scenes.npz"))
     params = load_weights(_shipped("depthnet_synthetic.npz"))
     model = DepthNet()
     rng = np.random.default_rng(777)
     accs = []
-    for _ in range(4):
-        rgb, depth, _ = make_scene(rng, 64)
+    for rgb, depth in zip(scenes["rgb"], scenes["depth"]):
         disp = model.apply(params, jnp.asarray(rgb)[None])[0]
         accs.append(order_accuracy(np.asarray(disp), depth, rng))
     acc = float(np.mean(accs))
-    assert acc > 0.62, f"shipped depthnet regressed: order acc {acc:.3f}"
+    assert acc > 0.70, f"shipped depthnet regressed: order acc {acc:.3f}"
