@@ -318,6 +318,24 @@ def main():
     metrics["render_psnr_mean"] = round(float(np.mean(psnrs)), 3)
     metrics["render_psnr_per_frame"] = [round(p, 2) for p in psnrs]
     metrics["render_ssim_mean"] = round(float(np.mean(ssims)), 4)
+
+    # geometry: alpha-normalized rendered depth vs GT where both agree the
+    # surface exists — the axis the flow/depth supervision actually targets
+    # (PSNR alone can prefer dropping it; `lab4d/engine/model.py:697-702`)
+    alpha_r = np.asarray(rendered["mask"])[..., 0]
+    depth_r = np.asarray(rendered["depth"])[..., 0] / np.maximum(alpha_r, 1e-6)
+    d_errs, ious = [], []
+    for i in range(n_eval):
+        gt_m = gt_depth[i] > 0
+        r_m = alpha_r[i] > 0.5
+        both = gt_m & r_m
+        if both.sum() > 16:
+            d_errs.append(float(np.sqrt(np.mean(
+                (depth_r[i][both] - gt_depth[i][both]) ** 2))))
+        ious.append(float((gt_m & r_m).sum() / max((gt_m | r_m).sum(), 1)))
+    if d_errs:
+        metrics["render_depth_rmse"] = round(float(np.mean(d_errs)), 5)
+    metrics["render_mask_iou"] = round(float(np.mean(ious)), 4)
     metrics["total_s"] = round(time.time() - t_all, 1)
 
     from vidu4d_tpu.utils.io import save_vid

@@ -78,6 +78,12 @@ def pca_fn(features: np.ndarray, n_components: int = 3):
 
 def get_data_info(datasets: List[VidDataset]) -> Dict:
     """Dataset metadata (`data_utils.py:226-335`)."""
+    if not datasets:
+        raise ValueError(
+            "config lists no videos — write_config skips sequences shorter "
+            "than 8 frames (reference rule), so check the sequence length "
+            "and that JPEGImages/Full-Resolution/<seqname>/ has .jpg frames"
+        )
     frame_offset = [0]
     frame_offset_raw = [0]
     frame_mapping = []
