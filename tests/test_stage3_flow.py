@@ -167,9 +167,38 @@ def test_stage3_step_reports_flow_and_depth(tmp_path):
         "fg_motion": "gs-bob", "gs_capacity": 128, "gs_init_samples": 64,
         "sh_degree": 1, "raster_budget": 64, "raster_tile_chunk": 1,
         "densify_from_iter": 100, "outlier_filtering_interval": 1000,
+        # wiring test: disable the flow-SNR gate so the tiny fake flows
+        # still produce a nonzero loss (the gate is tested separately)
+        "flow_noise_px": 0,
     }
     trainer = Stage3Trainer(opts)
     metrics = trainer.train_one_round()
     assert "flow" in metrics and np.isfinite(float(metrics["flow"]))
     assert "depth" in metrics and np.isfinite(float(metrics["depth"]))
     assert float(metrics["flow"]) > 0
+
+
+def test_stage3_flow_snr_gate(tmp_path):
+    """GT flow below the noise floor must contribute ZERO flow loss (the
+    gate that keeps sub-noise supervision from degrading training —
+    matched-schedule ablation measured 26.3 vs 21.1 dB)."""
+    import os
+
+    from tests.helpers import make_fake_db
+    from vidu4d_tpu.engine.gs4d_trainer import Stage3Trainer
+
+    db = make_fake_db(tmp_path, num_vids=1, T=8, H=16, W=16)
+    base = {
+        "dataroot": db, "seqname": "toy", "logname": "flowgate",
+        "logroot": os.path.join(str(tmp_path), "logdir"),
+        "data_prefix": "crop", "train_res": 16, "pixels_per_image": -1,
+        "imgs_per_gpu": 1, "num_rounds": 1, "iters_per_round": 1,
+        "fg_motion": "gs-bob", "gs_capacity": 128, "gs_init_samples": 64,
+        "sh_degree": 1, "raster_budget": 64, "raster_tile_chunk": 1,
+        "densify_from_iter": 100, "outlier_filtering_interval": 1000,
+        # fake-db flows are sub-pixel; a floor far above them gates all
+        "flow_noise_px": 1e4,
+    }
+    trainer = Stage3Trainer(base)
+    metrics = trainer.train_one_round()
+    assert float(metrics["flow"]) == 0.0

@@ -24,6 +24,11 @@ class TrainModelConfig:
     flags.DEFINE_float("rgb_wt", 0.1, "weight for color loss")
     flags.DEFINE_float("depth_wt", 1e-4, "weight for depth loss")
     flags.DEFINE_float("flow_wt", 0.5, "weight for flow loss")
+    flags.DEFINE_float(
+        "flow_noise_px", 2.5,
+        "stage-3 flow-SNR floor in px: GT flow below the estimator noise "
+        "band is not supervised (0 disables)",
+    )
     flags.DEFINE_float("vis_wt", 1e-2, "weight for visibility loss")
     flags.DEFINE_float("feature_wt", 1e-2, "weight for feature reconstruction loss")
     flags.DEFINE_float("feat_reproj_wt", 5e-2, "weight for feature reprojection loss")
