@@ -50,6 +50,6 @@ run 7 depthnet 14400 python scripts/train_depthnet.py --steps 2200 \
 run 8 depthreg 3600 python scripts/eval_depth_registration.py \
                 --out /tmp/depth_registration.json
 run 9 render512 3600 python -m vidu4d_tpu.render \
-                --flagfile=$OUT/logdir/synth-s3/opts.log \
+                --logdir=$OUT/logdir/synth-s3 \
                 --load_suffix latest --render_res 512 --viewpoint ref
 echo "=== campaign done ==="

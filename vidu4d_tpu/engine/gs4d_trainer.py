@@ -49,6 +49,7 @@ from vidu4d_tpu.ops.image_losses import ssim
 from vidu4d_tpu.ops.marching import load_obj, sample_mesh_surface
 from vidu4d_tpu.ops.rasterize import RasterizeConfig
 from vidu4d_tpu.ops.rasterize.common import compute_tile_rects, project_splats
+from vidu4d_tpu.utils.logging import dump_opts_json
 
 
 def init_surfels_from_mesh(
@@ -132,6 +133,7 @@ class Stage3Trainer:
             opts.get("logroot", "logdir"), f"{opts['seqname']}-{opts['logname']}"
         )
         os.makedirs(self.save_dir, exist_ok=True)
+        dump_opts_json(self.save_dir, opts)
 
         motion = opts.get("fg_motion", "gs-bob")
         assert motion.startswith("gs-")
@@ -163,7 +165,7 @@ class Stage3Trainer:
 
         self.batcher = data_utils.PairBatcher(
             datasets, imgs_per_batch=opts.get("imgs_per_gpu", 1),
-            seed=opts.get("seed", 0),
+            seed=max(opts.get("seed", 0), 0),
         )
 
         self._init_params()

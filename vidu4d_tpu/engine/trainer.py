@@ -42,6 +42,7 @@ from vidu4d_tpu.models.fields.time_mlp import (
 )
 from vidu4d_tpu.ops import geometry as geom
 from vidu4d_tpu.ops.marching import extract_mesh_np, save_obj, sample_mesh_surface
+from vidu4d_tpu.utils.logging import dump_opts_json
 from vidu4d_tpu.ops.quaternion import quaternion_translation_to_se3
 
 
@@ -61,6 +62,7 @@ class Stage2Trainer:
             f"{opts['seqname']}-{opts['logname']}",
         )
         os.makedirs(self.save_dir, exist_ok=True)
+        dump_opts_json(self.save_dir, opts)
 
         self.current_steps = 0
         self.current_round = 0
@@ -104,7 +106,7 @@ class Stage2Trainer:
 
         self.batcher = data_utils.PairBatcher(
             datasets, imgs_per_batch=opts.get("imgs_per_gpu", 256),
-            seed=opts.get("seed", 0),
+            seed=max(opts.get("seed", 0), 0),
         )
 
         # multi-chip: data-parallel mesh over the first --ngpu devices; the
@@ -166,7 +168,7 @@ class Stage2Trainer:
         cfg = self._loss_config()
         weights = progress_schedule(cfg, 0)
         self.params = self.model.init(
-            jax.random.PRNGKey(self.opts.get("seed", 0)),
+            jax.random.PRNGKey(max(self.opts.get("seed", 0), 0)),
             batch, self.states, cfg, weights, jax.random.PRNGKey(1),
             method=self.model.loss,
         )

@@ -303,6 +303,28 @@ def preprocess_video(
         canonical_cams = {0: cams_centered[0]}
     cams_canonical, _ = canonical_registration(canonical_cams, cams_centered,
                                                num_iter=500)
+    # the reference DISCARDS the optimized translations and re-derives them
+    # per frame from the 2D mask bbox (`canonical_registration.py:130-152`):
+    # z = focal / sqrt(bbox_area), xy = z * (bbox_center - principal) / focal.
+    # This pins the object IN FRONT of every camera at a bbox-consistent
+    # depth — without it, a bad Procrustes chain can place the object behind
+    # the camera, where rendering is empty and stage-2/3 gradients can never
+    # recover (observed: flat mask loss, final alpha == 0 everywhere).
+    cams_canonical = np.array(cams_canonical)
+    for i in range(t):
+        ys, xs = np.nonzero(mask_crop[i] > 0)
+        if len(xs) == 0:
+            continue
+        bw = float(xs.max() - xs.min() + 1)
+        bh = float(ys.max() - ys.min() + 1)
+        focal = float(k_crop[i][0, 0])
+        z = min(focal / np.sqrt(max(bw * bh, 1.0)), 10.0)
+        cx, cy = float(k_crop[i][0, 2]), float(k_crop[i][1, 2])
+        bcx = (float(xs.max()) + float(xs.min())) / 2.0
+        bcy = (float(ys.max()) + float(ys.min())) / 2.0
+        cams_canonical[i, 0, 3] = z * (bcx - cx) / focal
+        cams_canonical[i, 1, 3] = z * (bcy - cy) / focal
+        cams_canonical[i, 2, 3] = z
     np.save(os.path.join(cam_dir, "01-canonical.npy"),
             cams_canonical.astype(np.float32))
 

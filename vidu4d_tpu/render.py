@@ -25,6 +25,9 @@ define_flag_once("integer", "freeze_id", -1, "freeze frame id to render, -1 disa
 define_flag_once("integer", "num_frames", -1, "frames to render when freeze_id used")
 define_flag_once("float", "rot_dist", 2.0, "distance multiplier for rotating cameras")
 define_flag_once("bool", "nowarp", False, "render without warping")
+define_flag_once("string", "logdir", "",
+                 "run directory containing opts.json (alternative to "
+                 "--flagfile for programmatic runs)")
 
 
 def build_trainer(opts):
@@ -214,7 +217,16 @@ def render(opts):
 
 
 def main(_):
-    render(get_config())
+    opts = get_config()
+    # programmatic runs (examples/, tests) have no opts.log flagfile; their
+    # trainers persist the exact config dict as opts.json — point --logdir
+    # at the run directory to render them
+    if opts.get("logdir"):
+        import json
+
+        with open(os.path.join(opts["logdir"], "opts.json")) as f:
+            opts.update(json.load(f))
+    render(opts)
 
 
 if __name__ == "__main__":

@@ -46,3 +46,26 @@ class ScalarLogger:
         if arr.ndim == 3 and arr.shape[-1] in (1, 3):
             arr = arr.transpose(2, 0, 1)
         self.writer.add_image(tag, arr, step)
+
+
+def dump_opts_json(save_dir: str, opts) -> None:
+    """Persist the trainer's exact config dict as `opts.json`.
+
+    CLI runs already get a flag-compatible `opts.log` via
+    `config.save_config()` (reference contract, `lab4d/config.py:244-250`);
+    programmatic runs (examples, tests) construct trainers from plain dicts
+    whose keys need not all be flags, so render/export reconstruct them
+    from this JSON instead (`render.py --logdir`).
+    """
+    import json
+    import os
+
+    clean = {}
+    for k, v in dict(opts).items():
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        clean[k] = v
+    with open(os.path.join(save_dir, "opts.json"), "w") as f:
+        json.dump(clean, f, indent=1, sort_keys=True)
