@@ -72,3 +72,25 @@ def test_export_and_reanimate_cli(trained_dir):
     reanimate({**opts, "motion_path": motion_path})
     re_dir = os.path.join(trained_dir["logroot"], "toy-cli", "reanimation")
     assert os.path.isdir(re_dir) and os.listdir(re_dir)
+
+
+@pytest.mark.slow
+def test_render_logdir_opts_json(trained_dir):
+    """Programmatic runs are renderable via opts.json (`render.py --logdir`):
+    the trainer persists its exact config dict, and merging it over the flag
+    defaults reconstructs the model without an opts.log flagfile."""
+    run_dir = os.path.join(trained_dir["logroot"], "toy-cli")
+    with open(os.path.join(run_dir, "opts.json")) as f:
+        saved = json.load(f)
+    for k, v in trained_dir.items():
+        assert saved[k] == v, k
+
+    from vidu4d_tpu.render import render
+
+    # what main() builds: flag defaults (incl. seed=-1) + opts.json merge
+    opts = {"seed": -1, "inst_id": 0, "render_res": 16, "viewpoint": "ref",
+            "freeze_id": -1, "num_frames": -1, "rot_dist": 2.0,
+            "load_suffix": "latest", "nowarp": False}
+    opts.update(saved)
+    out = render(opts)
+    assert np.isfinite(out["rendered"]).all()

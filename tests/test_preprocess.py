@@ -172,6 +172,15 @@ def test_preprocess_pipeline_e2e(tmp_path, rng):
         root, "processed", "FlowFW_1", "Full-Resolution", "synth-0000",
         "crop-32.npy")).astype(np.float32)
     assert np.isfinite(fw1).all()
+    # canonical cameras place the object IN FRONT at a bbox-consistent depth
+    # (the reference re-derives translations from the 2D mask bbox,
+    # `canonical_registration.py:130-152`; without this a bad Procrustes
+    # chain can park the object behind the camera, a dead-render minimum)
+    canon = np.load(os.path.join(
+        root, "processed", "Cameras", "Full-Resolution", "synth-0000",
+        "01-canonical.npy"))
+    assert (canon[:, 2, 3] > 0).all()
+    assert (canon[:, 2, 3] <= 10.0 + 1e-5).all()
 
 
 def test_filter_frames_motion_gate(rng):
