@@ -25,8 +25,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
-    """Render a rotating, breathing surfel blob: frames, masks, GT depth."""
+def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0,
+                  motion_scale: float = 1.0):
+    """Render a rotating, breathing surfel blob: frames, masks, GT depth.
+
+    motion_scale multiplies the per-frame rotation/breathing rates; at 1.0
+    the max delta-1 optical flow is ~1.5 px (below the shipped RAFT's noise
+    floor, so the SNR-gated flow loss is mostly inactive), at 2.0 it is
+    ~3 px (real signal for the flow supervision)."""
     import jax
     import jax.numpy as jnp
 
@@ -53,8 +59,8 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
 
     frames, masks, depths = [], [], []
     for t in range(n_frames):
-        ang = 0.08 * t
-        breathe = 1.0 + 0.1 * np.sin(0.5 * t)
+        ang = 0.08 * motion_scale * t
+        breathe = 1.0 + 0.1 * np.sin(0.5 * motion_scale * t)
         rot = np.array([
             [np.cos(ang), 0, np.sin(ang)],
             [0, 1, 0],
@@ -80,7 +86,8 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0):
             np.stack(depths))
 
 
-def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0):
+def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0,
+                           motion_scale: float = 1.0):
     """GT video that does NOT come from the repo's own rasterizer (VERDICT
     r2 #2): a sphere-traced SDF blob — unit sphere + gaussian bumps —
     rotating and breathing, textured by 3D value noise sampled at CANONICAL
@@ -163,8 +170,8 @@ def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0):
 
     frames, masks, depths = [], [], []
     for ti in range(n_frames):
-        ang = 0.08 * ti
-        breathe = 1.0 + 0.1 * np.sin(0.5 * ti)
+        ang = 0.08 * motion_scale * ti
+        breathe = 1.0 + 0.1 * np.sin(0.5 * motion_scale * ti)
         rot = jnp.asarray([
             [np.cos(ang), 0, np.sin(ang)],
             [0, 1, 0],
@@ -187,6 +194,10 @@ def main():
     ap.add_argument("--s2_iters", type=int, default=60)
     ap.add_argument("--s3_rounds", type=int, default=4)
     ap.add_argument("--s3_iters", type=int, default=100)
+    ap.add_argument("--motion_scale", type=float, default=1.0,
+                    help="multiplies the GT rotation/breathing rates; 2.0 "
+                         "pushes delta-1 flow above the RAFT noise floor so "
+                         "the SNR-gated flow loss carries real signal")
     ap.add_argument("--gt_source", default="surfel",
                     choices=["surfel", "raymarch"],
                     help="surfel: own-rasterizer GT; raymarch: sphere-traced "
@@ -212,7 +223,8 @@ def main():
 
     # ---- ground-truth video (seeded: identical across resume runs) ----
     gt_fn = make_gt_video if args.gt_source == "surfel" else make_gt_video_raymarch
-    frames, masks, gt_depth = gt_fn(args.res, args.frames)
+    frames, masks, gt_depth = gt_fn(args.res, args.frames,
+                                    motion_scale=args.motion_scale)
     print(f"[gt:{args.gt_source}] frames {frames.shape} "
           f"coverage {masks.mean():.2f}", flush=True)
 
