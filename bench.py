@@ -20,9 +20,13 @@ execution finishes on the axon platform, so r1's numbers timed dispatch):
   a physically impossible number is visible immediately.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
-vs_baseline is against REFERENCE_SPLATS_PER_SEC — an estimate of the
-reference CUDA pipeline (~10 it/s × 200k splats at 256² on A100,
-see BASELINE.md). Update when a measured number exists.
+vs_baseline is against REFERENCE_SPLATS_PER_SEC = 4.0e6 — the central A100
+estimate DERIVED in BASELINE.md ("Derivation of the splats/s bar"):
+10 pair-it/s x 200k surfels x 2 frames/iter, from a bottom-up sum of the
+reference iteration's CUDA kernels + torch dispatch overhead, cross-checked
+against published 3DGS/2DGS per-iteration costs. Rounds 1-3 divided by
+2.0e6 under an inconsistent accounting; detail.vs_baseline_r3_accounting
+keeps that series comparable. Update when a measured number exists.
 """
 
 from __future__ import annotations
@@ -52,7 +56,11 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-REFERENCE_SPLATS_PER_SEC = 2.0e6
+# central A100 estimate, derived in BASELINE.md ("Derivation of the
+# splats/s bar"): 10 pair-it/s x 200k surfels x 2 frames rendered/iter.
+# Uncertainty band [2.6e6, 1.6e7]; rounds 1-3 used 2.0e6 (older accounting).
+REFERENCE_SPLATS_PER_SEC = 4.0e6
+REFERENCE_SPLATS_PER_SEC_R3 = 2.0e6
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 VPU work peaks far lower
 
 
@@ -326,6 +334,9 @@ def run_bench(args) -> dict:
                 # not compositing (exactly the r2 bench bug) — refuse to
                 # report a throughput number for it
                 raise RuntimeError(f"bench scene degenerate: {diag}")
+        detail["vs_baseline_r3_accounting"] = round(
+            splats_per_sec / REFERENCE_SPLATS_PER_SEC_R3, 4
+        )
         return {
             "metric": "stage3_splats_per_sec",
             "value": round(splats_per_sec, 1),
@@ -335,6 +346,49 @@ def run_bench(args) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _acquire_tpu_lock():
+    """Win the chip from any leftover campaign job (VERDICT r3 missing #1).
+
+    Long-running jobs in this repo go through scripts/with_tpu_lock.sh,
+    which holds an exclusive flock on /tmp/vidu4d_tpu.lock and records the
+    job pid in /tmp/vidu4d_campaign.pid. If the lock is busy when the
+    driver's bench starts, kill the RECORDED pid (never by pattern) and
+    take the lock; on any failure proceed anyway — a stale lock must not
+    stop the bench from producing its JSON line."""
+    import fcntl
+    import signal
+
+    lockf = open("/tmp/vidu4d_tpu.lock", "w")
+
+    def try_lock():
+        try:
+            fcntl.flock(lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return True
+        except OSError:
+            return False
+
+    if try_lock():
+        return lockf
+    try:
+        pid = int(open("/tmp/vidu4d_campaign.pid").read().strip())
+        sys.stderr.write(f"[bench] killing campaign holder pid={pid}\n")
+        os.kill(pid, signal.SIGTERM)
+        time.sleep(5)
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+    except Exception:  # noqa: BLE001
+        pass
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if try_lock():
+            return lockf
+        time.sleep(2)
+    sys.stderr.write("[bench] proceeding without the lock\n")
+    return lockf  # keep the fd alive; lock simply not held
 
 
 def main():
@@ -366,28 +420,32 @@ def main():
             sys.exit(1)
         return
 
-    # the tunneled single-chip TPU occasionally drops the worker mid-run;
-    # retry at progressively smaller workloads, each in a FRESH process, so
-    # the driver always gets one JSON line.
+    # Total wall-clock is BOUNDED (VERDICT r3: the 3x3000s retry ladder
+    # alone exceeded the driver's budget). One full-workload attempt (warm
+    # persistent-cache run is ~2.5 min; a cold compile is the long pole) +
+    # one small fresh-process fallback, then a parseable error line.
+    # Worst case: 60 s lock + 1260 s + 420 s ≈ 29 min.
     import subprocess
 
-    fallbacks = [
-        (args.surfels, args.res),
-        (max(args.surfels // 4, 4096), args.res),
-        (max(args.surfels // 16, 4096), min(args.res, 128)),
+    _lock = _acquire_tpu_lock()  # noqa: F841  (held for bench lifetime)
+
+    attempts = [
+        (args.surfels, args.res, args.iters, 1260),
+        (max(args.surfels // 16, 4096), min(args.res, 128),
+         min(args.iters, 5), 420),
     ]
     last_err = None
-    for surfels, res in fallbacks:
+    for surfels, res, iters, budget_s in attempts:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--child",
             "--surfels", str(surfels), "--res", str(res),
-            "--frames", str(args.frames), "--iters", str(args.iters),
+            "--frames", str(args.frames), "--iters", str(iters),
             "--budget", str(args.budget), "--span-cap", str(args.span_cap),
             "--impl", args.impl,
         ]
         try:
             proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3000,
+                cmd, capture_output=True, text=True, timeout=budget_s,
             )
             line = None
             for ln in (proc.stdout or "").splitlines():
@@ -395,12 +453,12 @@ def main():
                 if ln.startswith("{"):
                     line = ln
             if line and proc.returncode == 0:
-                if (surfels, res) != fallbacks[0]:
+                if (surfels, res) != (attempts[0][0], attempts[0][1]):
                     # the advertised workload died — say so in the output
                     # instead of silently reporting the smaller run
                     obj = json.loads(line)
                     obj.setdefault("detail", {})["fallback_from"] = {
-                        "surfels": fallbacks[0][0], "res": fallbacks[0][1],
+                        "surfels": attempts[0][0], "res": attempts[0][1],
                         "error": last_err,
                     }
                     line = json.dumps(obj)
@@ -410,6 +468,8 @@ def main():
                 last_err = json.loads(line).get("error", line)
             else:
                 last_err = (proc.stderr or "no output").splitlines()[-1][:300]
+        except subprocess.TimeoutExpired:
+            last_err = f"child timeout after {budget_s}s"
         except Exception as e:  # noqa: BLE001
             last_err = str(e).splitlines()[0][:300]
     print(json.dumps({

@@ -87,12 +87,21 @@ def make_gt_video(res: int, n_frames: int, n_splats: int = 400, seed: int = 0,
 
 
 def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0,
-                           motion_scale: float = 1.0):
+                           motion_scale: float = 1.0,
+                           background: str = "white",
+                           cam_jitter: float = 0.0):
     """GT video that does NOT come from the repo's own rasterizer (VERDICT
     r2 #2): a sphere-traced SDF blob — unit sphere + gaussian bumps —
     rotating and breathing, textured by 3D value noise sampled at CANONICAL
     coordinates (so a surface point keeps its color over time), Lambertian
-    shaded. Pure jnp math, no rasterize() anywhere."""
+    shaded. Pure jnp math, no rasterize() anywhere.
+
+    Adversarial knobs (VERDICT r3 #9 — the zero-egress stand-in for a real
+    clip): ``background="textured"`` composites over a cluttered 2D-noise
+    background that pans slowly (parallax clutter instead of clean white);
+    ``cam_jitter`` adds per-frame random SO(3)xR^3 pose noise (radians /
+    scene units) on top of the smooth object motion — handheld-camera
+    shake the camera MLPs must absorb."""
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +109,28 @@ def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0,
     bump_c = jnp.asarray(rng.normal(size=(6, 3)) * 0.5, jnp.float32)
     bump_a = jnp.asarray(rng.uniform(0.02, 0.06, size=(6,)), jnp.float32)
     noise = jnp.asarray(rng.uniform(0.1, 1.0, size=(8, 8, 8, 3)), jnp.float32)
+    # cluttered background: a coarse color lattice bilinearly upsampled, with
+    # mid-gray mean so it neither matches the white model-bg prior nor the
+    # object's palette
+    bg_lat = rng.uniform(0.15, 0.85, size=(9, 9, 3)).astype(np.float32)
+
+    def bg_frame(ti):
+        if background != "textured":
+            return np.ones((res, res, 3), np.float32)
+        ys, xs = np.mgrid[0:res, 0:res].astype(np.float32)
+        # slow pan: ~0.15 px/frame at res 64 — background clutter with its
+        # own (camera-consistent) drift
+        u = (xs / res * 8.0 + 0.02 * ti) % 8.0
+        v = (ys / res * 8.0 + 0.01 * ti) % 8.0
+        i, j = u.astype(np.int32), v.astype(np.int32)
+        fu, fv = (u - i)[..., None], (v - j)[..., None]
+        c = (bg_lat[j, i] * (1 - fu) * (1 - fv)
+             + bg_lat[j, i + 1] * fu * (1 - fv)
+             + bg_lat[j + 1, i] * (1 - fu) * fv
+             + bg_lat[j + 1, i + 1] * fu * fv)
+        return c.astype(np.float32)
+
+    jit_rng = np.random.default_rng(seed + 101)
 
     r0, center_z, fpx = 0.12, 0.5, 1.2 * res
 
@@ -132,9 +163,9 @@ def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0,
         return c
 
     @jax.jit
-    def render_frame(rot, breathe):
+    def render_frame(rot, breathe, center):
         def world_to_canon(p):
-            return ((p - jnp.asarray([0.0, 0.0, center_z])) @ rot) / breathe
+            return ((p - center) @ rot) / breathe
 
         def sdf_world(p):
             return sdf_canon(world_to_canon(p)) * breathe
@@ -164,22 +195,40 @@ def make_gt_video_raymarch(res: int, n_frames: int, seed: int = 0,
         light = jnp.asarray([0.4, -0.5, -0.76])
         lam = 0.35 + 0.65 * jnp.clip(-jnp.sum(n * light, axis=-1), 0.0, 1.0)
         alb = texture(world_to_canon(p))
-        rgb = jnp.where(hit[..., None], alb * lam[..., None], 1.0)
+        rgb_fg = alb * lam[..., None]
         depth = jnp.where(hit, t, 0.0)
-        return rgb, hit, depth
+        return rgb_fg, hit, depth
 
     frames, masks, depths = [], [], []
     for ti in range(n_frames):
         ang = 0.08 * motion_scale * ti
         breathe = 1.0 + 0.1 * np.sin(0.5 * motion_scale * ti)
-        rot = jnp.asarray([
+        rot = np.array([
             [np.cos(ang), 0, np.sin(ang)],
             [0, 1, 0],
             [-np.sin(ang), 0, np.cos(ang)],
-        ], jnp.float32)
-        rgb, hit, depth = render_frame(rot, jnp.float32(breathe))
-        frames.append(np.asarray(rgb))
-        masks.append(np.asarray(hit))
+        ], np.float32)
+        center = np.array([0.0, 0.0, center_z], np.float32)
+        if cam_jitter > 0:
+            # small-angle Rodrigues + translation shake per frame
+            w = jit_rng.normal(0, cam_jitter, size=3).astype(np.float32)
+            wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                           [-w[1], w[0], 0]], np.float32)
+            th = np.linalg.norm(w) + 1e-9
+            rj = (np.eye(3, dtype=np.float32)
+                  + np.sin(th) / th * wx
+                  + (1 - np.cos(th)) / th**2 * (wx @ wx))
+            rot = rj @ rot
+            center = center + jit_rng.normal(
+                0, 0.1 * cam_jitter, size=3
+            ).astype(np.float32)
+        rgb_fg, hit, depth = render_frame(
+            jnp.asarray(rot), jnp.float32(breathe), jnp.asarray(center)
+        )
+        hit_np = np.asarray(hit)
+        frame = np.where(hit_np[..., None], np.asarray(rgb_fg), bg_frame(ti))
+        frames.append(frame.astype(np.float32))
+        masks.append(hit_np)
         depths.append(np.asarray(depth))
     return (np.stack(frames).astype(np.float32),
             np.stack(masks).astype(np.float32), np.stack(depths))
@@ -202,6 +251,18 @@ def main():
                     choices=["surfel", "raymarch"],
                     help="surfel: own-rasterizer GT; raymarch: sphere-traced "
                          "SDF GT fully independent of the rasterizer")
+    ap.add_argument("--background", default="white",
+                    choices=["white", "textured"],
+                    help="raymarch GT background: textured = cluttered "
+                         "panning noise (adversarial, VERDICT r3 #9)")
+    ap.add_argument("--cam_jitter", type=float, default=0.0,
+                    help="per-frame random pose shake (radians) on the "
+                         "raymarch GT — handheld-camera stand-in")
+    ap.add_argument("--mask_source", default="gt",
+                    choices=["gt", "flow", "auto"],
+                    help="masks fed to the pipeline: gt = perfect; flow = "
+                         "tracked from the GT frame-0 seed (imperfect); "
+                         "auto = no seed at all (motion seed + tracking)")
     ap.add_argument("--flow_wt", type=float, default=None,
                     help="override stage-3 flow loss weight (ablations)")
     ap.add_argument("--depth_wt", type=float, default=None)
@@ -222,11 +283,32 @@ def main():
     t_all = time.time()
 
     # ---- ground-truth video (seeded: identical across resume runs) ----
-    gt_fn = make_gt_video if args.gt_source == "surfel" else make_gt_video_raymarch
-    frames, masks, gt_depth = gt_fn(args.res, args.frames,
-                                    motion_scale=args.motion_scale)
+    if args.gt_source == "surfel":
+        frames, masks, gt_depth = make_gt_video(
+            args.res, args.frames, motion_scale=args.motion_scale)
+    else:
+        frames, masks, gt_depth = make_gt_video_raymarch(
+            args.res, args.frames, motion_scale=args.motion_scale,
+            background=args.background, cam_jitter=args.cam_jitter)
+    gt_masks = masks  # evaluation always scores against the true masks
+    if args.mask_source != "gt":
+        # imperfect masks from the in-repo tracker (adversarial: the
+        # trainer sees segmentation errors, eval still uses GT)
+        from vidu4d_tpu.preprocess.segment import segment_video
+
+        seed = masks[0] if args.mask_source == "flow" else None
+        masks = segment_video(frames, seed_mask=seed,
+                              auto_seed=args.mask_source == "auto")
+        ious_m = [
+            float(((masks[i] > .5) & (gt_masks[i] > .5)).sum()
+                  / max(((masks[i] > .5) | (gt_masks[i] > .5)).sum(), 1))
+            for i in range(len(masks))
+        ]
+        metrics["train_mask_iou_vs_gt"] = round(float(np.mean(ious_m)), 4)
+        print(f"[masks:{args.mask_source}] IoU vs GT "
+              f"{metrics['train_mask_iou_vs_gt']}", flush=True)
     print(f"[gt:{args.gt_source}] frames {frames.shape} "
-          f"coverage {masks.mean():.2f}", flush=True)
+          f"coverage {np.asarray(masks).mean():.2f}", flush=True)
 
     # ---- stage 1 --------------------------------------------------------
     from vidu4d_tpu.preprocess.pipeline import preprocess_video, write_config
@@ -330,6 +412,18 @@ def main():
     metrics["render_psnr_mean"] = round(float(np.mean(psnrs)), 3)
     metrics["render_psnr_per_frame"] = [round(p, 2) for p in psnrs]
     metrics["render_ssim_mean"] = round(float(np.mean(ssims)), 4)
+    # foreground-only PSNR: on adversarial (textured-background) scenes the
+    # full-frame number is dominated by the background model; this isolates
+    # the reconstruction target
+    fg_psnrs = []
+    for i in range(n_eval):
+        m = np.asarray(gt_masks[i]) > 0.5
+        if m.sum() > 16:
+            mse = float(np.mean(
+                (np.asarray(rendered["rendered"][i])[m] - gt[i][m]) ** 2))
+            fg_psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+    if fg_psnrs:
+        metrics["render_psnr_fg_mean"] = round(float(np.mean(fg_psnrs)), 3)
 
     # geometry: alpha-normalized rendered depth vs GT where both agree the
     # surface exists — the axis the flow/depth supervision actually targets

@@ -1,13 +1,14 @@
-"""Collect round-3 quality-campaign artifacts into examples/results/.
+"""Collect quality-campaign artifacts into examples/results/.
 
-Reads the /tmp/e2e_r3* output dirs written by scripts/quality_campaign.sh
-(main run, flow+depth-off ablation, raster-budget sweep, the
-rasterizer-independent ray-marched-GT run) plus the depth-registration
-eval, and writes examples/results/metrics.json (the main evidence file)
-and examples/results/campaign.json (ablation/sweep table). Copies the
+Reads the /tmp/e2e_r4* output dirs written by scripts/quality_campaign4.sh
+(main surfel-GT run, rasterizer-independent ray-marched-GT run, the
+adversarial textured/jittered/auto-masked variant, the motion_scale-2.0
+flow ablation pair, the budget audit) plus the depth-registration eval,
+and writes examples/results/metrics.json (the main evidence file) and
+examples/results/campaign.json (variant/ablation table). Copies the
 render-vs-GT gifs alongside.
 
-    python scripts/collect_campaign.py [--src /tmp/e2e_r3] [--rm /tmp/e2e_r3_raymarch]
+    python scripts/collect_campaign.py [--src /tmp/e2e_r4] [--rm /tmp/e2e_r4_raymarch]
 """
 
 from __future__ import annotations
@@ -25,10 +26,28 @@ def load(path):
     return None
 
 
+KEEP = ("render_psnr_mean", "render_psnr_fg_mean", "render_ssim_mean",
+        "render_depth_rmse", "render_mask_iou", "train_mask_iou_vs_gt",
+        "total_s")
+
+
+def summarize(m, **extra):
+    row = {k: m[k] for k in KEEP if k in m}
+    for k in ("gt_source", "background", "cam_jitter", "mask_source",
+              "motion_scale", "flow_wt", "depth_wt", "s3_rounds"):
+        if m.get("config", {}).get(k) not in (None, ""):
+            row[k] = m["config"][k]
+    row.update(extra)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src", default="/tmp/e2e_r3")
-    ap.add_argument("--rm", default="/tmp/e2e_r3_raymarch")
+    ap.add_argument("--src", default="/tmp/e2e_r4")
+    ap.add_argument("--rm", default="/tmp/e2e_r4_raymarch")
+    ap.add_argument("--adv", default="/tmp/e2e_r4_adv")
+    ap.add_argument("--fast", default="/tmp/e2e_r4_fast")
+    ap.add_argument("--budget", default="/tmp/e2e_r4_budget.json")
     ap.add_argument("--depthreg", default="/tmp/depth_registration.json")
     ap.add_argument("--out", default="examples/results")
     args = ap.parse_args()
@@ -43,25 +62,28 @@ def main():
             shutil.copy(gif, os.path.join(args.out, "render_vs_gt.gif"))
 
     campaign = {}
-    for name in ["s3_nofd", "s3_b256", "s3_b1024", "s3_b4096"]:
-        m = load(os.path.join(args.src, f"metrics_{name}.json"))
+    if main_m:
+        campaign["main_surfel_gt"] = summarize(main_m)
+    for key, src, gifname in [
+        ("raymarch_gt", args.rm, "render_vs_gt_raymarch.gif"),
+        ("adversarial", args.adv, "render_vs_gt_adversarial.gif"),
+    ]:
+        m = load(os.path.join(src, "metrics.json"))
         if m:
-            campaign[name] = {
-                "render_psnr_mean": m.get("render_psnr_mean"),
-                "render_ssim_mean": m.get("render_ssim_mean"),
-                "raster_budget": m["config"].get("raster_budget"),
-                "s3_rounds": m["config"].get("s3_rounds"),
-            }
-    rm = load(os.path.join(args.rm, "metrics.json"))
-    if rm:
-        campaign["raymarch_gt"] = {
-            "render_psnr_mean": rm.get("render_psnr_mean"),
-            "render_ssim_mean": rm.get("render_ssim_mean"),
-            "gt_source": "raymarch",
-        }
-        gif = os.path.join(args.rm, "render_vs_gt.gif")
-        if os.path.exists(gif):
-            shutil.copy(gif, os.path.join(args.out, "render_vs_gt_raymarch.gif"))
+            campaign[key] = summarize(m)
+            gif = os.path.join(src, "render_vs_gt.gif")
+            if os.path.exists(gif):
+                shutil.copy(gif, os.path.join(args.out, gifname))
+    # motion_scale-2.0 flow-supervision ablation pair (matched schedules)
+    m_on = load(os.path.join(args.fast, "metrics.json"))
+    m_off = load(os.path.join(args.fast, "metrics_s3_noflow.json"))
+    if m_on:
+        campaign["ms2_flow_on"] = summarize(m_on)
+    if m_off:
+        campaign["ms2_flow_off"] = summarize(m_off)
+    bud = load(args.budget)
+    if bud:
+        campaign["budget_audit"] = bud
     dr = load(args.depthreg)
     if dr:
         campaign["depth_registration"] = dr

@@ -49,6 +49,36 @@ def test_shipped_raft_epe_golden():
 
 
 @pytest.mark.slow
+def test_shipped_featnet_match_accuracy_golden():
+    """VERDICT r3 next-round #8: pin the trained FeatNet descriptor (0.992
+    match acc vs 0.929 HOG) the same way RAFT/depthnet are pinned. Scores
+    the shipped weights on FROZEN image pairs + GT correspondences
+    (tests/golden/featnet_pairs.npz, generated once from the seed-777
+    procedural-warp stream) so the golden is decoupled from the live scene
+    generator."""
+    if not os.path.exists(_shipped("featnet_synthetic.npz")):
+        pytest.skip("no shipped FeatNet weights")
+    from vidu4d_tpu.preprocess.featnet import (
+        FeatNet,
+        load_weights,
+        match_accuracy,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pairs = np.load(os.path.join(here, "golden", "featnet_pairs.npz"))
+    params = load_weights(_shipped("featnet_synthetic.npz"))
+    model = FeatNet()
+    accs = []
+    for i1, i2, xy1, xy2 in zip(pairs["img1"], pairs["img2"],
+                                pairs["xy1"], pairs["xy2"]):
+        f1 = model.apply(params, jnp.asarray(i1)[None])[0]
+        f2 = model.apply(params, jnp.asarray(i2)[None])[0]
+        accs.append(match_accuracy(f1, f2, xy1, xy2))
+    acc = float(np.mean(accs))
+    assert acc > 0.95, f"shipped FeatNet regressed: golden match acc {acc:.3f}"
+
+
+@pytest.mark.slow
 def test_shipped_depthnet_order_accuracy_golden():
     """Scores the shipped weights on FROZEN rendered scenes
     (tests/golden/depthnet_scenes.npz, generated once from the seed-777

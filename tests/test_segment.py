@@ -46,6 +46,66 @@ def test_flow_propagation_tracks_moving_object():
     assert min(ious) > 0.9, f"per-frame IoU dropped: {ious}"
 
 
+def _make_pan_scene(t=8, h=64, w=64, r=10, pan=(1.5, 0.0), seed=3):
+    """Like _make_scene but the BACKGROUND pans uniformly (camera motion):
+    the dominant-motion seed must explain the pan away as affine flow and
+    keep only the object's differential motion."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frames, masks = [], []
+    cx, cy = 20.0, 32.0
+    for i in range(t):
+        bx = xx + pan[0] * i
+        by = yy + pan[1] * i
+        bg = 0.25 + 0.15 * np.stack(
+            [np.sin(bx / 5 + c) * np.cos(by / 7 + c) for c in range(3)], -1
+        )
+        fg_tex = 0.75 + 0.2 * np.stack(
+            [np.cos(xx / 3 + c) * np.sin(yy / 4 - c) for c in range(3)], -1
+        )
+        m = ((xx - cx) ** 2 + (yy - cy) ** 2 < r * r).astype(np.float32)
+        img = bg * (1 - m[..., None]) + fg_tex * m[..., None]
+        img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+        frames.append(img.astype(np.float32))
+        masks.append(m)
+        cx += 2.5
+        cy += 0.5
+    return np.stack(frames), np.stack(masks)
+
+
+def test_auto_seed_static_camera():
+    """VERDICT r3 #6: segment_backend='auto' — no seed provided, the
+    dominant-motion residual seed + flow propagation must reach IoU>0.85."""
+    from vidu4d_tpu.preprocess.segment import motion_seed_mask, segment_video
+
+    frames, gt = _make_scene()
+    seed = motion_seed_mask(frames)
+    assert seed is not None
+    assert _iou(seed, gt[0]) > 0.85, f"seed IoU {_iou(seed, gt[0]):.3f}"
+    out = segment_video(frames, auto_seed=True)
+    ious = [_iou(out[i], gt[i]) for i in range(len(gt))]
+    assert min(ious) > 0.85, f"per-frame IoU: {ious}"
+
+
+def test_auto_seed_under_camera_pan():
+    from vidu4d_tpu.preprocess.segment import motion_seed_mask
+
+    frames, gt = _make_pan_scene()
+    seed = motion_seed_mask(frames)
+    assert seed is not None
+    assert _iou(seed, gt[0]) > 0.8, f"pan seed IoU {_iou(seed, gt[0]):.3f}"
+
+
+def test_auto_seed_degenerate_returns_none():
+    """A static video has no motion evidence — the seed must decline (the
+    pipeline then falls back to the center prior) instead of hallucinating."""
+    from vidu4d_tpu.preprocess.segment import motion_seed_mask
+
+    frames, _ = _make_scene()
+    static = np.repeat(frames[:1], 6, axis=0)
+    assert motion_seed_mask(static) is None
+
+
 def test_flow_backend_through_pipeline(tmp_path):
     """segment_backend='flow' in preprocess_video: seed-only masks in, full
     tracked masks written to the Annotations contract."""

@@ -153,7 +153,11 @@ def preprocess_video(
     when None, every frame); "flow" tracks a SEED mask — masks[0] if
     provided, else the center prior — through the video with RAFT-flow
     propagation + online appearance models (the Track-Anything slot,
-    `track_anything_cli.py:53-263`; see preprocess/segment.py)."""
+    `track_anything_cli.py:53-263`; see preprocess/segment.py); "auto" is
+    "flow" with NO provided seed: the frame-0 mask comes from the in-repo
+    dominant-motion residual seed (`segment.motion_seed_mask`, the
+    GroundingDINO+SAM stand-in), falling back to the center prior when the
+    motion evidence is degenerate."""
     t, hr, wr = frames.shape[:3]
     written = {}
 
@@ -163,11 +167,12 @@ def preprocess_video(
         return d
 
     prefix = f"crop-{crop_size}"
-    if segment_backend == "flow":
+    if segment_backend in ("flow", "auto"):
         from vidu4d_tpu.preprocess.segment import segment_video
 
         seed = np.asarray(masks[0]) if masks is not None else None
-        masks = segment_video(frames, seed_mask=seed)
+        masks = segment_video(frames, seed_mask=seed,
+                              auto_seed=segment_backend == "auto")
     elif masks is None:
         masks = np.stack([center_box_mask((hr, wr))] * t)
     masks = np.asarray(masks, np.float32)

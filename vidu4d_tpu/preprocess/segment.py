@@ -115,20 +115,175 @@ def propagate_masks(
     return jnp.concatenate([seed[None], masks], axis=0)
 
 
+def _fit_affine_flow(flow: np.ndarray, n_irls: int = 4):
+    """Robust (IRLS/Tukey-ish) affine fit of a flow field: the dominant
+    BACKGROUND (camera) motion model.
+
+    flow(x) ~= A @ [x, y, 1] holds for the camera-induced flow of a distant
+    background under small rotation/zoom/translation; the moving OBJECT
+    violates it. The GLOBAL parameters A are reliable even when the
+    per-pixel flow is noisy (they average thousands of background pixels
+    under a robust loss). Returns (residual magnitude map (H, W),
+    predicted affine flow field (H, W, 2))."""
+    h, w = flow.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    basis = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w, np.float32)], 1)
+    target = flow.reshape(-1, 2).astype(np.float64)
+    wgt = np.ones((h * w,), np.float64)
+    pred = np.zeros_like(target)
+    for _ in range(n_irls):
+        bw = basis * wgt[:, None]
+        a, *_ = np.linalg.lstsq(bw, target * wgt[:, None], rcond=None)
+        pred = basis @ a
+        resid = np.linalg.norm(target - pred, axis=1)
+        mad = np.median(np.abs(resid - np.median(resid))) + 1e-6
+        c = 3.0 * 1.4826 * mad
+        wgt = 1.0 / (1.0 + (resid / c) ** 2)
+    return (resid.reshape(h, w).astype(np.float32),
+            pred.reshape(h, w, 2).astype(np.float32))
+
+
+def motion_seed_mask(
+    frames: np.ndarray,
+    deltas: Tuple[int, ...] = (1, 2, 4, 8),
+    min_px: float = 0.04,
+    z_core: float = 4.0,
+    area_bounds: Tuple[float, float] = (0.002, 0.6),
+) -> Optional[np.ndarray]:
+    """Promptable-free frame-0 seed from motion + appearance (VERDICT r3 #6).
+
+    Two stages, mirroring what GroundingDINO+SAM do for the reference
+    (`track_anything_cli.py:53-155`: text -> box -> mask) with zero vendored
+    weights:
+
+    1. LOCATE by motion: for several temporal deltas, estimate flow
+       frame0 -> frame k, fit the dominant affine background (camera)
+       motion (`_fit_affine_flow`), warp frame k back by that affine field,
+       and take the camera-compensated photometric difference as motion
+       evidence; the median over deltas suppresses transit trails. The
+       CORE is evidence > med + z_core*MAD with an absolute floor
+       (``min_px``, in intensity units — a static video's standardized
+       noise must not pass), majority-cleaned, largest connected
+       component. The core is allowed to be partial — differencing misses
+       texture-aligned interiors.
+    2. SEGMENT by appearance: fg/bg color histograms from the core vs the
+       far-outside region, classified with the same Laplace-smoothed
+       likelihood ratio the tracker uses, restricted to a dilated band
+       around the core, majority-cleaned, largest component, hole-filled.
+
+    Returns None when the motion evidence is degenerate (static video, or
+    object covering nothing / nearly everything), letting the caller fall
+    back to the center prior."""
+    import scipy.ndimage as ndi
+
+    from vidu4d_tpu.preprocess.flow import compute_flow_pairs
+    from vidu4d_tpu.preprocess.ops import warp_by_flow
+
+    t, h, w = frames.shape[:3]
+    frames_j = jnp.asarray(frames, jnp.float32)
+    diffs = []
+    for d in deltas:
+        if d >= t:
+            continue
+        pair = jnp.stack([frames_j[0], frames_j[d]])
+        fw, _ = compute_flow_pairs(pair, 1)
+        # the raw per-pixel flow residual is unusable at this resolution
+        # (the estimator's noise floor on low-texture 64^2 frames is
+        # ~0.5 px — the same order as per-delta object motion), but the
+        # GLOBAL affine fit is robust; so compensate the camera motion and
+        # use photometric differencing as the motion evidence instead
+        _, pred = _fit_affine_flow(np.asarray(fw[0, ..., :2]))
+        aligned = np.asarray(
+            warp_by_flow(frames_j[d], jnp.asarray(pred))
+        )
+        f0 = np.asarray(frames_j[0])
+        fd = np.asarray(frames_j[d])
+
+        def smooth(x):
+            return np.asarray(jax.scipy.signal.convolve2d(
+                jnp.asarray(x), jnp.ones((3, 3), jnp.float32) / 9.0,
+                mode="same"))
+
+        d_warp = smooth(np.abs(aligned - f0).mean(-1))
+        d_raw = smooth(np.abs(fd - f0).mean(-1))
+        # model selection: on a static camera the affine fit locks onto
+        # structured flow NOISE (~1.5 px phantom warps that manufacture
+        # difference where there is none — an identical-frame video must
+        # score ZERO evidence); the background majority decides which
+        # camera model is right via the lower median
+        diffs.append(d_warp if np.median(d_warp) < np.median(d_raw)
+                     else d_raw)
+    if not diffs:
+        return None
+    # median over deltas: a true frame-0 object pixel is hot at (nearly)
+    # every delta — the object vacates or its texture shifts — while a
+    # background pixel the object merely TRANSITS at time d is hot at only
+    # one delta; the median suppresses those trails
+    ev = np.median(np.stack(diffs), axis=0)
+    med = np.median(ev)
+    mad = 1.4826 * np.median(np.abs(ev - med)) + 1e-6
+    core = (ev > med + z_core * mad) & (ev > min_px)
+    core = np.asarray(_majority3(jnp.asarray(core, jnp.float32))) > 0.5
+    labels, n = ndi.label(core)
+    if n == 0:
+        return None
+    largest = 1 + np.argmax(ndi.sum_labels(core, labels, range(1, n + 1)))
+    core = labels == largest
+    if core.sum() < max(12, area_bounds[0] * h * w):
+        return None
+
+    # appearance refinement: the core both under-covers the object
+    # (differencing misses texture-aligned interiors) and over-covers it
+    # (transit trails the median couldn't fully suppress attach to the
+    # blob), so classify colors — fg model from the core, bg model from
+    # well outside it — inside a dilated band. The fg histogram tolerates
+    # trail pollution: bg colors appear in BOTH models, so their
+    # likelihood ratio stays <= 0 and the classifier rejects them.
+    r_obj = np.sqrt(core.sum() / np.pi)  # equivalent-disk radius
+    band = ndi.binary_dilation(core, iterations=max(int(0.75 * r_obj), 3))
+    far_bg = ~ndi.binary_dilation(core, iterations=max(int(2 * r_obj), 6))
+    if far_bg.sum() < 64:
+        # object (+band) swallows the frame: sample bg from the least
+        # motion-evidence pixels instead
+        far_bg = ev <= med
+    bins = np.asarray(_bin_ids(frames_j[0]))
+    hist_fg = np.asarray(_histogram(jnp.asarray(bins),
+                                    jnp.asarray(core, jnp.float32)))
+    hist_bg = np.asarray(_histogram(jnp.asarray(bins),
+                                    jnp.asarray(far_bg, jnp.float32)))
+    logit = np.asarray(_appearance_logit(
+        jnp.asarray(bins), jnp.asarray(hist_fg), jnp.asarray(hist_bg)))
+    seed = (logit > 0.0) & band
+    seed = np.asarray(_majority3(jnp.asarray(seed, jnp.float32))) > 0.5
+    labels, n = ndi.label(seed)
+    if n == 0:
+        return None
+    largest = 1 + np.argmax(ndi.sum_labels(seed, labels, range(1, n + 1)))
+    seed = ndi.binary_fill_holes(labels == largest)
+    frac = float(seed.mean())
+    if not (area_bounds[0] <= frac <= area_bounds[1]):
+        return None
+    return seed.astype(np.float32)
+
+
 def segment_video(
     frames: np.ndarray,
     seed_mask: Optional[np.ndarray] = None,
     appearance_wt: float = 1.0,
+    auto_seed: bool = False,
 ) -> np.ndarray:
     """(T, H, W, 3) frames -> (T, H, W) float32 masks.
 
-    Seed defaults to the center prior (`pipeline.center_box_mask`) — the
-    "no annotation at all" path; an external seed (the SAM contract) gives
-    much tighter tracks. Flow comes from the shipped RAFT weights when
-    present, else pyramidal LK (`flow.compute_flow_pairs`)."""
+    Seed resolution order: an explicit ``seed_mask`` (the SAM contract);
+    with ``auto_seed`` the in-repo motion seed (`motion_seed_mask`); last
+    resort the center prior (`pipeline.center_box_mask`). Flow comes from
+    the shipped RAFT weights when present, else pyramidal LK
+    (`flow.compute_flow_pairs`)."""
     from vidu4d_tpu.preprocess.flow import compute_flow_pairs
 
     frames_j = jnp.asarray(frames, jnp.float32)
+    if seed_mask is None and auto_seed:
+        seed_mask = motion_seed_mask(np.asarray(frames))
     if seed_mask is None:
         from vidu4d_tpu.preprocess.pipeline import center_box_mask
 
