@@ -238,6 +238,46 @@ def cap_binning(binning: "TileBinning", entry_cap: int,
     )
 
 
+def align_binning(binning: "TileBinning", chunk: int = 128) -> "TileBinning":
+    """Re-layout the sorted entry list so every tile's segment starts on a
+    CHUNK boundary (pad slots between segments; static output size
+    E + T*chunk).
+
+    With aligned segments no chunk is ever shared by two tiles, so the
+    Pallas backward's per-entry gradient slab becomes WRITE-ONLY — the
+    read-modify-write chunk DMAs (and their serialization waits) that the
+    boundary-sharing layout required are dropped entirely (the TPU
+    replacement for `backward.cu`'s atomicAdd contention). Pad slots carry
+    splat id 0 and sit outside [start, start+count), so the kernels mask
+    them exactly like sentinel tails. Works on single or batched
+    (leading-dim) binnings."""
+    def one(ids, start, count):
+        e_in = ids.shape[0]
+        t = start.shape[0]
+        e_out = e_in + t * chunk
+        padded = (-(-count // chunk) * chunk).astype(jnp.int32)
+        astart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(padded).astype(jnp.int32)]
+        )[:-1]
+        q = jnp.arange(e_out, dtype=jnp.int32)
+        ti = jnp.searchsorted(astart, q, side="right").astype(jnp.int32) - 1
+        off = q - astart[ti]
+        src = start[ti] + off
+        valid = off < count[ti]
+        new_ids = jnp.where(valid, ids[jnp.minimum(src, e_in - 1)], 0)
+        return new_ids, astart
+    if binning.sorted_splat_ids.ndim == 2:
+        new_ids, astart = jax.vmap(one)(
+            binning.sorted_splat_ids, binning.tile_start, binning.tile_count
+        )
+    else:
+        new_ids, astart = one(
+            binning.sorted_splat_ids, binning.tile_start, binning.tile_count
+        )
+    return binning._replace(sorted_splat_ids=new_ids, tile_start=astart)
+
+
 def bin_splats_batch(
     proj_b: SplatProjection,
     height: int,

@@ -17,9 +17,10 @@ Design:
   T-chain and the suffix sums are resolved with Hillis-Steele prefix ops
   over the lane (entry) axis — no sequential splat loop;
 * per-entry gradients (d tu/tv/tw, d center2d, d opacity, d rgb, d normal)
-  are accumulated into a transposed (32, E) grad slab with read-modify-write
-  chunk DMAs. The grid is marked "arbitrary" so programs execute
-  sequentially and boundary chunks shared by two tiles cannot race;
+  are written into a transposed (32, E) grad slab with WRITE-ONLY chunk
+  DMAs: `common.align_binning` pads every tile's entry segment to a CHUNK
+  boundary, so no chunk is shared by two tiles and no read-modify-write
+  (or cross-program ordering) is needed;
 * an XLA epilogue reduces entry gradients to splat gradients (inverse
   permutation + segment reshape — the atomics-free equivalent of
   `backward.cu`'s atomicAdd into dL_d*).
@@ -90,8 +91,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
 
     def kernel(tile_ids_ref, start_ref, count_ref, props_hbm, cot_ref,
                resid_ref, grads_in_hbm, grads_hbm, scratch, gscratch, sem,
-               gsem_r, gsem_w):
-        del grads_in_hbm  # aliased with grads_hbm (read-modify-write)
+               gsem_w):
+        del grads_in_hbm  # aliased with grads_hbm (zero-init for untouched chunks)
         t = pl.program_id(0)
         start = start_ref[t]
         count = count_ref[t]
@@ -103,6 +104,14 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
         lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
         pxf = (base_x + lin % tile).astype(jnp.float32) + 0.5
         pyf = (base_y + lin // tile).astype(jnp.float32) + 0.5
+
+        # suffix-sum-as-matmul operand: suf_incl = x @ tri_ge rides the MXU
+        # (one (px_n, CHUNK) x (CHUNK, CHUNK) contraction) instead of a
+        # log2(CHUNK)-step Hillis-Steele roll chain on the VPU
+        tri_ge = (
+            jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        ).astype(jnp.float32)
 
         # cotangents + residuals for this tile's pixels: (1, px_n, c)
         g_c = [cot_ref[0, :, i][:, None] for i in range(3)]  # color
@@ -153,17 +162,11 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 scratch.at[slot], sem.at[slot],
             )
 
-        # grads RMW is double-buffered too: read chunk ci+1 / write chunk
-        # ci-1 ride under chunk ci's compute. Chunk ranges within a tile are
-        # disjoint (the slab pad guarantees chunk_idx never clamps), and
-        # the end-of-tile waits below retire every write before the next
-        # grid step can read an overlapping aligned-down range.
-        def gread(ci, slot):
-            return pltpu.make_async_copy(
-                grads_hbm.at[chunk_idx(ci), :ng],
-                gscratch.at[slot], gsem_r.at[slot],
-            )
-
+        # aligned tile segments (common.align_binning) mean no chunk is
+        # shared by two tiles, so the grads slab is WRITE-ONLY: no RMW
+        # read DMA, no read/write ordering hazard across grid steps. The
+        # double-buffered write of chunk ci rides under chunk ci+1's
+        # compute; slot reuse waits on the write issued two chunks ago.
         def gwrite(ci, slot):
             return pltpu.make_async_copy(
                 gscratch.at[slot],
@@ -174,23 +177,14 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
         @pl.when(num_chunks > 0)
         def _():
             props_copy(0, 0).start()
-            gread(0, 0).start()
 
         def body(ci, carry):
             t_after, s_gw = carry  # (px_n, 1) each
             slot = jax.lax.rem(ci, 2)
-            # prefetch the next (earlier) chunk under this chunk's compute;
-            # the other slot's pending grads WRITE (chunk ci-1) must retire
-            # before its buffer is reused for the next grads read
+            # prefetch the next (earlier) chunk under this chunk's compute
             @pl.when(ci + 1 < num_chunks)
             def _():
                 props_copy(ci + 1, 1 - slot).start()
-
-                @pl.when(ci >= 1)
-                def _():
-                    gwrite(ci - 1, 1 - slot).wait()
-
-                gread(ci + 1, 1 - slot).start()
 
             props_copy(ci, slot).wait()
             base = chunk_base(ci)
@@ -267,7 +261,9 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
 
             # suffix over j > i of Gw_j w_j (within chunk + carry)
             gww = gw * w
-            suf_gww = _suffix_add_lanes(gww) - gww + s_gw
+            suf_gww = jax.lax.dot(
+                gww, tri_ge, preferred_element_type=jnp.float32
+            ) - gww + s_gw
             om_safe = jnp.maximum(om, 1e-3)
             g_alpha = gw * t_before - (suf_gww + g_tfin * t_fin) / om_safe
             g_alpha = jnp.where(ok & ~clamped, g_alpha, 0.0)
@@ -333,8 +329,11 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             def psum(x):
                 return jnp.sum(jnp.where(ok, x, 0.0), axis=0, keepdims=True)
 
-            gread(ci, slot).wait()
-            acc = gscratch[slot, :, :]
+            # retire the write issued two chunks ago before reusing its slot
+            @pl.when(ci >= 2)
+            def _():
+                gwrite(ci - 2, slot).wait()
+
             rows = [
                 (psum(g_tu[0]), _TU), (psum(g_tu[1]), _TU + 1), (psum(g_tu[2]), _TU + 2),
                 (psum(g_tv[0]), _TV), (psum(g_tv[1]), _TV + 1), (psum(g_tv[2]), _TV + 2),
@@ -347,7 +346,12 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 (psum(w * g_extra[e]), _EXTRA + e) for e in range(n_extra)
             ]
             for val, r in rows:
-                gscratch[slot, r, :] = acc[r, :] + val[0]
+                gscratch[slot, r, :] = val[0]
+            # rows between the used set and the sublane-rounded ng carry
+            # stale data from the previous chunk in this slot — zero them
+            zero_row = jnp.zeros((CHUNK,), jnp.float32)
+            for r in range(_EXTRA + n_extra, ng):
+                gscratch[slot, r, :] = zero_row
             gwrite(ci, slot).start()
 
             # carry: t_before of the FIRST lane = T after all earlier entries
@@ -421,12 +425,12 @@ def backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, _F, CHUNK), jnp.float32),  # double-buffered props
-            # double-buffered grads RMW (only used rows travel, rounded up
-            # to the sublane tiling)
+            # double-buffered grads WRITE slab (only used rows travel,
+            # rounded up to the sublane tiling; aligned segments make the
+            # chunks exclusive to one tile — no RMW)
             pltpu.VMEM((2, -(-(_EXTRA + n_extra) // 8) * 8, CHUNK),
                        jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),  # grads reads
             pltpu.SemaphoreType.DMA((2,)),  # grads writes
         ],
     )
@@ -437,7 +441,7 @@ def backward_pallas(
         input_output_aliases={6: 0},  # zeros input (after 3 scalar-prefetch + 3 operands) aliases the output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # sequential: RMW chunks safe
+            dimension_semantics=("arbitrary",),
         ),
     )(tile_ids, tile_start, tile_count, slab, cot, resid,
       jnp.zeros((n_chunks, _F, CHUNK), jnp.float32))
@@ -535,6 +539,7 @@ def rasterize_pallas_grad(
     n_extra = colors.shape[-1] - 3
     binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
     binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
+    binning = common.align_binning(binning, chunk=CHUNK)
     slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
     core = _make_core(tiles_x, tiles_y, tile, interpret, n_extra=n_extra)
     nchan = 3 + n_extra
@@ -611,6 +616,7 @@ def rasterize_pallas_grad_batch(
     binning = common.bin_splats_batch(proj_b, height, width, tile=tile,
                                       span_cap=span_cap)
     binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
+    binning = common.align_binning(binning, chunk=CHUNK)
     opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
     # unrolled like bin_splats_batch: a vmapped gather's transpose is a
     # *batched* scatter-add, which XLA lowers far slower than M independent

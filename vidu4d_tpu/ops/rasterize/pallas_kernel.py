@@ -160,8 +160,7 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             zeros, zeros, zeros,  # color r, g, b
             zeros,  # expected depth
             zeros, zeros, zeros,  # normal x, y, z
-            zeros, zeros,  # dist1, dist2
-            zeros,  # distortion
+            zeros, zeros,  # dist1 = sum w·m, dist2 = sum w·m²
             zeros, zeros,  # med_depth, med_w
             zeros,  # n_contrib (last composited rank + 1)
             jnp.ones((px_n, 1), jnp.float32),  # t_last: T after last included
@@ -178,7 +177,7 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
         def body(state):
             c, _, carry = state
             (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-             dist1, dist2, distort, med_d, med_w, ncon, t_last,
+             dist1, dist2, med_d, med_w, ncon, t_last,
              extras) = carry
 
             slot = jax.lax.rem(c, 2)
@@ -254,18 +253,18 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             ny2 = ny + lsum(w * row(_NRM + 1))
             nz2 = nz + lsum(w * row(_NRM + 2))
 
-            # streaming distortion (forward.cu:410-436)
+            # distortion accumulators: the streaming pairwise loss
+            # (forward.cu:410-436) telescopes to the totals-only closed
+            # form D = S2·A − S1² with A = Σw, S1 = Σw·m, S2 = Σw·m²
+            # (the backward kernel already exploits this), so the forward
+            # only tracks S1/S2 — no per-entry prefix scans needed. D is
+            # assembled in the epilogue.
             depth_pos = jnp.maximum(depth, 1e-6)
             m = (common.FAR_PLANE * depth_pos
                  - common.FAR_PLANE * common.NEAR_PLANE) / (
                 (common.FAR_PLANE - common.NEAR_PLANE) * depth_pos)
             wm = w * m
             wmm = w * m * m
-            dist1_pre = dist1 + _prefix_add_lanes(wm) - wm  # exclusive
-            dist2_pre = dist2 + _prefix_add_lanes(wmm) - wmm
-            acc_a = 1.0 - t_prefix
-            err = m * m * acc_a + dist2_pre - 2.0 * m * dist1_pre
-            distort2 = distort + lsum(w * err)
             dist1_2 = dist1 + lsum(wm)
             dist2_2 = dist2 + lsum(wmm)
 
@@ -295,7 +294,7 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
                 jnp.max(jnp.where(w > 0, rank1, 0.0), axis=1, keepdims=True),
             )
             carry2 = (t_c2, cr2, cg2, cb2, d2_, nx2, ny2, nz2,
-                      dist1_2, dist2_2, distort2, med_d2, med_w2, ncon2,
+                      dist1_2, dist2_2, med_d2, med_w2, ncon2,
                       t_last2, extras2)
             return (c + 1, jnp.max(t_c2), carry2)
 
@@ -314,8 +313,11 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             chunk_copy(c_fin, jax.lax.rem(c_fin, 2)).wait()
 
         (t_c, cr, cg, cb, d_acc, nx, ny, nz,
-         dist1, dist2, distort, med_d, med_w, ncon, t_last,
+         dist1, dist2, med_d, med_w, ncon, t_last,
          extras) = carry_out
+        # totals-form distortion (exactly the pairwise loss the streaming
+        # form of forward.cu:410-436 accumulates; self-terms cancel)
+        distort = dist2 * (1.0 - t_last) - dist1 * dist1
 
         color_ref[0, :, 0] = (cr + t_last * bg_ref[0, 0])[:, 0]
         color_ref[0, :, 1] = (cg + t_last * bg_ref[0, 1])[:, 0]
