@@ -288,6 +288,10 @@ class Stage3Trainer:
             # are not supervised; 0 disables the gate
             "flow_noise_px": o.get("flow_noise_px", 2.5),
             "feat_reproj_wt": o.get("feat_reproj_wt", 5e-2),
+            # pixels per frame for the feature-matching loss (strided
+            # subgrid of the full image; 0 = all pixels). The reference
+            # only ever matches its sampled ray batch, never full frames.
+            "feat_reproj_px": o.get("feat_reproj_px", 8192),
             "reg_deform_cyc_wt": o.get("reg_deform_cyc_wt", 0.01),
             "reg_delta_skin_wt": o.get("reg_delta_skin_wt", 5e-3),
             "reg_skin_entropy_wt": o.get("reg_skin_entropy_wt", 5e-4),
@@ -472,19 +476,37 @@ class Stage3Trainer:
             loss_dict["mask"] = losses_mod.nonzero_mean(mask_loss * is_det)
 
             if not cfg["rgb_loss_only"]:
-                # feature reprojection (`model.py:663-675`)
+                # feature reprojection (`model.py:663-675`). The reference
+                # matches only its sampled ray batch (`samples_dict
+                # ["feature"]` is (M,N,16) with N = pixels_per_image,
+                # `deformable_gaussian.py:1436-1487`); matching every
+                # train-res pixel here would softmax a (M*HW, 2048) score
+                # matrix and DQ-skin-warp M*HW matched points fwd+bwd —
+                # ~1/3 of the whole step at 256^2. A strided slice (free on
+                # TPU, no gather) keeps a uniform spatial subgrid of
+                # feat_reproj_px pixels per frame; the loss is a mean over
+                # pixels, so the subgrid estimator is the same objective.
                 if "feature" in samples and sparams.regist_feat.shape[-1] > 0:
+                    feat_px = samples["feature"]
+                    hxy_px = batch["hxy"][..., :2]
+                    maskfg_px = batch["mask"]
+                    n_px = int(cfg.get("feat_reproj_px", 8192) or 0)
+                    if 0 < n_px < feat_px.shape[1]:
+                        st = feat_px.shape[1] // n_px
+                        feat_px = feat_px[:, ::st][:, :n_px]
+                        hxy_px = hxy_px[:, ::st][:, :n_px]
+                        maskfg_px = maskfg_px[:, ::st][:, :n_px]
                     matches = deformer.apply(
-                        dparams, samples["feature"], sparams.regist_feat, xyz,
+                        dparams, feat_px, sparams.regist_feat, xyz,
                         method=deformer.global_match,
                     )
                     xy_reproj, _ = deformer.apply(
                         dparams, matches, samples, method=deformer.forward_project
                     )
                     reproj = safe_norm(
-                        xy_reproj - batch["hxy"][..., :2], axis=-1, keepdims=True
+                        xy_reproj - hxy_px, axis=-1, keepdims=True
                     )
-                    maskfg = batch["mask"].astype(reproj.dtype)
+                    maskfg = maskfg_px.astype(reproj.dtype)
                     loss_dict["feat_reproj"] = (
                         losses_mod.nonzero_mean(reproj * maskfg) / cfg["train_res"]
                     )

@@ -159,6 +159,7 @@ def quantize_depth(depth: jax.Array, depth_bits: int,
 
 class TileBinning(NamedTuple):
     sorted_splat_ids: jax.Array  # (E,) int32, entries sorted by (tile, depth)
+    sorted_tile_ids: jax.Array  # (E,) int32 tile of each entry (num_tiles = pad)
     tile_start: jax.Array  # (T,) int32 first entry of each tile
     tile_count: jax.Array  # (T,) int32 entries per tile
     num_entries: jax.Array  # () int32 total valid entries (diagnostic)
@@ -233,6 +234,7 @@ def cap_binning(binning: "TileBinning", entry_cap: int,
     count = jnp.minimum(binning.tile_start + binning.tile_count, cap) - start
     return binning._replace(
         sorted_splat_ids=binning.sorted_splat_ids[..., :cap],
+        sorted_tile_ids=binning.sorted_tile_ids[..., :cap],
         tile_start=start,
         tile_count=count,
     )
@@ -250,32 +252,97 @@ def align_binning(binning: "TileBinning", chunk: int = 128) -> "TileBinning":
     replacement for `backward.cu`'s atomicAdd contention). Pad slots carry
     splat id 0 and sit outside [start, start+count), so the kernels mask
     them exactly like sentinel tails. Works on single or batched
-    (leading-dim) binnings."""
-    def one(ids, start, count):
+    (leading-dim) binnings.
+
+    Implementation is a sort-merge built only from vector ops, scans and one
+    int32 key sort — no gather, no scatter, no searchsorted. (The obvious
+    per-output searchsorted+gather lowered to ~90 ms/frame on TPU; a
+    scatter-based destination computation is miscompiled by the SPMD
+    partitioner when the result feeds a shard_map — see
+    tests/test_pallas_kernel.py mesh parity.) Each real entry's aligned
+    destination follows from two prefix sums over the entry stream:
+
+      off[i]  = position of entry i within its tile segment
+                (segmented +1 scan, reset at tile boundaries)
+      S[i]    = chunk * number of chunk-openings up to i, where entry i
+                opens a chunk iff off[i] % chunk == 0; a finished segment
+                of count c therefore consumed exactly ceil(c/chunk)*chunk
+                aligned slots, so S[i] - chunk*(off[i]//chunk + 1) ==
+                astart[tile(i)]  and  dst[i] = S[i] - chunk + off[i]%chunk.
+
+    Explicit pad entries fill each tile's alignment gap; one sort by dst
+    places everything (sorts are the fast primitive here: ~12 ms at 3.2M
+    entries, see bin_splats_batch)."""
+    def one(ids, tiles, start, count):
         e_in = ids.shape[0]
         t = start.shape[0]
         e_out = e_in + t * chunk
         padded = (-(-count // chunk) * chunk).astype(jnp.int32)
+        gap = padded - count  # in [0, chunk)
         astart = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(padded).astype(jnp.int32)]
         )[:-1]
-        q = jnp.arange(e_out, dtype=jnp.int32)
-        ti = jnp.searchsorted(astart, q, side="right").astype(jnp.int32) - 1
-        off = q - astart[ti]
-        src = start[ti] + off
-        valid = off < count[ti]
-        new_ids = jnp.where(valid, ids[jnp.minimum(src, e_in - 1)], 0)
-        return new_ids, astart
+        i = jnp.arange(e_in, dtype=jnp.int32)
+        total = start[-1] + count[-1]  # sentinel/dropped tail starts here
+        # segmented scan: off[i]+1 = entries since this tile's first entry
+        boundary = jnp.concatenate(
+            [jnp.ones((1,), bool), tiles[1:] != tiles[:-1]]
+        )
+        def seg_combine(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf, bv, av + bv), af | bf
+        seg, _ = jax.lax.associative_scan(
+            seg_combine, (jnp.ones((e_in,), jnp.int32), boundary)
+        )
+        off = seg - 1
+        opens = jnp.where(off % chunk == 0, jnp.int32(chunk), jnp.int32(0))
+        s = jax.lax.associative_scan(jnp.add, opens)
+        dst_real = jnp.where(i < total, s - chunk + off % chunk, e_out + i)
+        ids_real = jnp.where(i < total, ids, 0)
+        # pad entries: gap[t] of them land in tile t's alignment gap, the
+        # rest get unique keys past every used slot (ids are 0 either way).
+        jj = jnp.arange(chunk, dtype=jnp.int32)
+        pad_used = jj[None, :] < gap[:, None]
+        pad_dst = jnp.where(
+            pad_used,
+            astart[:, None] + count[:, None] + jj[None, :],
+            2 * e_out + jnp.arange(t * chunk, dtype=jnp.int32).reshape(t, chunk),
+        ).reshape(-1)
+        num_tiles = jnp.int32(t)
+        pad_tile = jnp.where(
+            pad_used,
+            jnp.arange(t, dtype=jnp.int32)[:, None],
+            num_tiles,
+        ).reshape(-1)
+        tiles_real = jnp.where(i < total, tiles, num_tiles)
+        all_dst = jnp.concatenate([dst_real, pad_dst])
+        all_ids = jnp.concatenate([ids_real, jnp.zeros((t * chunk,), ids.dtype)])
+        all_tiles = jnp.concatenate([tiles_real, pad_tile])
+        _, new_ids, new_tiles = jax.lax.sort(
+            [all_dst, all_ids, all_tiles], num_keys=1
+        )
+        return new_ids, new_tiles, astart
     if binning.sorted_splat_ids.ndim == 2:
-        new_ids, astart = jax.vmap(one)(
-            binning.sorted_splat_ids, binning.tile_start, binning.tile_count
-        )
+        # unrolled like bin_splats_batch: a batched lax.sort lowers ~3x
+        # slower on TPU than M independent sorts
+        m = binning.sorted_splat_ids.shape[0]
+        outs = [
+            one(binning.sorted_splat_ids[f], binning.sorted_tile_ids[f],
+                binning.tile_start[f], binning.tile_count[f])
+            for f in range(m)
+        ]
+        new_ids = jnp.stack([o[0] for o in outs])
+        new_tiles = jnp.stack([o[1] for o in outs])
+        astart = jnp.stack([o[2] for o in outs])
     else:
-        new_ids, astart = one(
-            binning.sorted_splat_ids, binning.tile_start, binning.tile_count
+        new_ids, new_tiles, astart = one(
+            binning.sorted_splat_ids, binning.sorted_tile_ids,
+            binning.tile_start, binning.tile_count
         )
-    return binning._replace(sorted_splat_ids=new_ids, tile_start=astart)
+    return binning._replace(sorted_splat_ids=new_ids,
+                            sorted_tile_ids=new_tiles, tile_start=astart)
 
 
 def bin_splats_batch(
@@ -357,6 +424,7 @@ def bin_splats(
 
     return TileBinning(
         sorted_splat_ids=ids_sorted,
+        sorted_tile_ids=tile_of_entry.astype(jnp.int32),
         tile_start=tile_start,
         tile_count=tile_count,
         num_entries=jnp.sum(tile_count),
