@@ -15,6 +15,7 @@ at the reference cadence (`trainer.py:549-598`) entirely on device.
 
 from __future__ import annotations
 
+import math
 import os
 import pickle
 import time
@@ -50,6 +51,33 @@ from vidu4d_tpu.ops.marching import load_obj, sample_mesh_surface
 from vidu4d_tpu.ops.rasterize import RasterizeConfig
 from vidu4d_tpu.ops.rasterize.common import compute_tile_rects, project_splats
 from vidu4d_tpu.utils.logging import dump_opts_json
+
+
+def _uniform_pixel_subsample(n_total: int, n_px: int, train_res: int):
+    """Pick n_px of n_total raster-order pixels with uniform 2D coverage.
+
+    The flat strided slice ``x[:, ::st][:, :n_px]`` is free on TPU but only
+    spatially uniform when st = n_total // n_px divides the image width
+    evenly and trims nothing; degenerate knob values (st a multiple of
+    train_res -> every sample in column 0; n_px just under n_total -> only
+    the top rows survive) silently break coverage. Keep the slice on the
+    clean path and fall back to a static 2D-grid jnp.take otherwise."""
+    h = w = train_res
+    st = n_total // n_px
+    if (
+        n_total == h * w
+        and n_total % n_px == 0
+        and 0 < st < w
+        and w % st == 0
+    ):
+        return lambda x: x[:, ::st][:, :n_px]
+    nc = min(w, int(math.ceil(math.sqrt(n_px))))
+    nr = min(h, -(-n_px // nc))
+    rows = np.round(np.linspace(0, h - 1, nr)).astype(np.int64)
+    cols = np.round(np.linspace(0, w - 1, nc)).astype(np.int64)
+    idx = (rows[:, None] * w + cols[None, :]).reshape(-1)[:n_px]
+    idx = jnp.asarray(np.clip(idx, 0, n_total - 1), jnp.int32)
+    return lambda x: jnp.take(x, idx, axis=1)
 
 
 def init_surfels_from_mesh(
@@ -492,10 +520,12 @@ class Stage3Trainer:
                     maskfg_px = batch["mask"]
                     n_px = int(cfg.get("feat_reproj_px", 8192) or 0)
                     if 0 < n_px < feat_px.shape[1]:
-                        st = feat_px.shape[1] // n_px
-                        feat_px = feat_px[:, ::st][:, :n_px]
-                        hxy_px = hxy_px[:, ::st][:, :n_px]
-                        maskfg_px = maskfg_px[:, ::st][:, :n_px]
+                        sub = _uniform_pixel_subsample(
+                            feat_px.shape[1], n_px, int(cfg["train_res"])
+                        )
+                        feat_px = sub(feat_px)
+                        hxy_px = sub(hxy_px)
+                        maskfg_px = sub(maskfg_px)
                     matches = deformer.apply(
                         dparams, feat_px, sparams.regist_feat, xyz,
                         method=deformer.global_match,
