@@ -192,6 +192,51 @@ def main():
     report["bwd_kernel_ms"], _ = timed(f_e, (slab,), args.iters)
     print(f"bwd_kernel: {report['bwd_kernel_ms']:.1f} ms", flush=True)
 
+    # ---- stage E2: align_binning alone (the r4 scan/sort re-layout) ----
+    binning_nocap = common.bin_splats_batch(proj_b, res, res, tile=cfg.tile,
+                                            span_cap=cfg.span_cap)
+    binning_cap = common.cap_binning(binning_nocap, cfg.entry_cap,
+                                     chunk=pk.CHUNK)
+
+    def f_e2(c, inp):
+        (b,) = inp
+        # anti-hoisting for int inputs: a traced 0/1 scalar add (c*0 would
+        # constant-fold and let XLA hoist the body out of the scan)
+        b = b._replace(
+            sorted_splat_ids=(b.sorted_splat_ids
+                              + (c > 1e30).astype(jnp.int32)))
+        ab = common.align_binning(b, chunk=pk.CHUNK)
+        return (jnp.sum(ab.tile_start) + jnp.sum(ab.sorted_splat_ids[:, 0])
+                ).astype(jnp.float32)
+
+    report["align_ms"], _ = timed(f_e2, (binning_cap,), args.iters)
+    print(f"align: {report['align_ms']:.1f} ms", flush=True)
+
+    # ---- stage E3: pack transpose alone (row gather + its scatter-add
+    # backward — the XLA epilogue that reduces entry grads to splat grads)
+    ids_fixed = binning_cap.sorted_splat_ids
+
+    def f_e3(c, inp):
+        (sp,) = inp
+
+        def scalar(sp2):
+            colors_b2, proj_b2 = sh_proj(sp2, xyz_cam, rot_cam)
+            opac_b2 = jnp.broadcast_to(
+                sf.get_opacity(sp2)[:, 0][None], colors_b2.shape[:2])
+            s = 0.0
+            for f in range(args.frames):
+                slab_f = pk.pack_props(
+                    jax.tree.map(lambda x: x[f], proj_b2), colors_b2[f],
+                    opac_b2[f], ids_fixed[f])
+                s = s + jnp.sum(slab_f * 1e-6)
+            return s
+
+        g = jax.grad(scalar)(perturb(sp, c))
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+
+    report["pack_transpose_ms"], _ = timed(f_e3, (sparams,), args.iters)
+    print(f"pack_transpose: {report['pack_transpose_ms']:.1f} ms", flush=True)
+
     # ---- stage F: full grad ------------------------------------------
     def f_f(c, inp):
         sp, xc, rc = inp
@@ -205,6 +250,11 @@ def main():
         report["fwd_ms"] - report["pack_ms"], 2)
     report["epilogue_ms"] = round(
         report["grad_ms"] - report["fwd_ms"] - report["bwd_kernel_ms"], 2)
+    # pack_transpose includes one sh_proj fwd+bwd to build the graph;
+    # sh_proj fwd is report["sh_proj_ms"] — the scatter-add share is
+    # roughly pack_transpose - 2*sh_proj
+    report["pack_scatter_est_ms"] = round(
+        report["pack_transpose_ms"] - 2 * report["sh_proj_ms"], 2)
     print(json.dumps(report))
 
 

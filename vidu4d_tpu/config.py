@@ -37,6 +37,11 @@ class TrainModelConfig:
     flags.DEFINE_float("reg_visibility_wt", 1e-4, "visibility regularization")
     flags.DEFINE_float("reg_eikonal_wt", 1e-3, "eikonal regularization")
     flags.DEFINE_float("reg_deform_cyc_wt", 0.01, "deform cycle regularization")
+    flags.DEFINE_integer(
+        "cycle_subsample", 4,
+        "stage-3: strided surfel subset for the cycle/skin warp "
+        "regularizers (1 = every surfel)",
+    )
     flags.DEFINE_float("reg_delta_skin_wt", 5e-3, "delta skinning reg")
     flags.DEFINE_float("reg_skin_entropy_wt", 5e-4, "skinning entropy reg")
     flags.DEFINE_float("reg_gauss_skin_wt", 1e-3, "gauss skinning consistency")

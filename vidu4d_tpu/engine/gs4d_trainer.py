@@ -321,6 +321,9 @@ class Stage3Trainer:
             # only ever matches its sampled ray batch, never full frames.
             "feat_reproj_px": o.get("feat_reproj_px", 8192),
             "reg_deform_cyc_wt": o.get("reg_deform_cyc_wt", 0.01),
+            # strided surfel subset for the cycle/skin warp regularizers
+            # (1 = full); the subset estimator is the same objective
+            "cycle_subsample": o.get("cycle_subsample", 4),
             "reg_delta_skin_wt": o.get("reg_delta_skin_wt", 5e-3),
             "reg_skin_entropy_wt": o.get("reg_skin_entropy_wt", 5e-4),
             "reg_gauss_skin_wt": o.get("reg_gauss_skin_wt", 1e-3),
@@ -391,14 +394,19 @@ class Stage3Trainer:
             intrins = geom.mat2K(geom.Kmatinv(samples["Kinv"]))
             bg = deformer.apply(dparams, method=deformer.background)
 
-            # cycle loss first: its backward warp of xyz_cam is shared with
-            # flow_surfels below (identical computation — one warp+grad
-            # saved per step)
+            # cycle consistency is a REGULARIZER on the warp MLPs — its
+            # expectation over a strided 1/cycle_subsample surfel subset is
+            # the same objective at 1/k the cost (the full-P backward warp
+            # fwd+grad measured 13-17 ms of a 135 ms step; the reference
+            # computes it on its sampled ray batch, far fewer than P,
+            # `lab4d/engine/model.py:856-866`)
             cyc = None
             use_flow = cfg["flow_wt"] > 0 and "flow" in batch
+            cyc_sub = max(int(cfg.get("cycle_subsample", 4) or 1), 1)
             if use_flow or not cfg["rgb_loss_only"]:
                 cyc = deformer.apply(
-                    dparams, xyz_cam, xyz, samples, method=deformer.cycle_loss
+                    dparams, xyz_cam[:, ::cyc_sub], xyz[::cyc_sub], samples,
+                    method=deformer.cycle_loss
                 )
 
             # per-surfel pair flow composited as 2 extra channels
@@ -409,8 +417,17 @@ class Stage3Trainer:
             extra = None
             flow_scale = 1.0
             if use_flow:
+                # the via-canonical forward warp starts from the STORE's
+                # canonical xyz directly (the surfels ARE canonical points)
+                # instead of round-tripping through the cycle's backward
+                # warp — one full-P warp fwd+grad saved, and the flow
+                # channels supervise the warp against the exact canonical
+                # rather than its cycle approximation
+                # (`deformable_gaussian.py:817-899` also flows canonical
+                # gaussians warped to both frames)
                 flow_pw = deformer.apply(
-                    dparams, xyz_cam, samples, cyc["xyz_cycled"],
+                    dparams, xyz_cam, samples,
+                    jnp.broadcast_to(xyz[None], xyz_cam.shape),
                     method=deformer.flow_surfels,
                 )  # (M, P, 2)
                 # normalize to ~[-1,1] before alpha compositing

@@ -378,10 +378,22 @@ def bin_splats(
 ) -> TileBinning:
     """Fixed-capacity tile binning + one int32 key sort.
 
-    Each splat emits ``span_cap**2`` entries covering (a centered clamp of)
-    its AABB tile rect (`auxiliary.h` getRect semantics). Entries outside the
-    rect get sentinel keys that sort to the end. Depth order within a tile
-    comes from packing quantized depth into the low key bits.
+    Entries cover (a centered clamp of) each splat's AABB tile rect
+    (`auxiliary.h` getRect semantics). Entries outside the rect get sentinel
+    keys that sort to the end. Depth order within a tile comes from packing
+    quantized depth into the low key bits.
+
+    TWO-POOL emission (round-5 perf): the sort is the binning's whole cost
+    and scales with the emission count, but converged scenes average < 2
+    covered tiles per splat — a flat ``span_cap**2`` duplication sorts
+    P*16 keys of which ~88% are sentinels (measured 21.8 ms of a 135 ms
+    step at 200k/256^2/2 frames). Splats whose rect fits 2x2 (the vast
+    majority) emit 4 entries; the rare larger splats go through a
+    fixed-capacity BIG pool (``p//16`` slots) that emits the full
+    ``span_cap**2``. Coverage is EXACT while the pool suffices; excess big
+    splats degrade to their centered 2x2 clamp and are counted in
+    ``overflowed`` (same contract as the span_cap clamp itself). Total
+    emission drops 16P -> 4P + P = 5P, the sort ~3x faster.
     """
     tiles_y, tiles_x = tile_grid_shape(height, width, tile)
     num_tiles = tiles_x * tiles_y
@@ -394,26 +406,65 @@ def bin_splats(
 
     p = proj.center2d.shape[0]
     rects = compute_tile_rects(proj, height, width, tile, span_cap)
-    rect_min_x, rect_min_y = rects.min_x, rects.min_y
-    span_x, span_y = rects.span_x, rects.span_y
-    valid = rects.valid
-    overflow = rects.overflow
-
-    # static (P, span_cap**2) duplication
-    j = jnp.arange(span_cap * span_cap, dtype=jnp.int32)
-    dx = j[None, :] % jnp.maximum(span_x, 1)[:, None]
-    dy = j[None, :] // jnp.maximum(span_x, 1)[:, None]
-    in_rect = (dy < span_y[:, None]) & valid[:, None]
-    tile_id = (rect_min_y[:, None] + dy) * tiles_x + (rect_min_x[:, None] + dx)
-
     depth_q = quantize_depth(proj.depth, depth_bits)
-    keys = (tile_id << depth_bits) | depth_q[:, None]
     sentinel = jnp.int32((num_tiles << depth_bits))
-    keys = jnp.where(in_rect, keys, sentinel).reshape(-1)
 
-    splat_ids = jnp.broadcast_to(
-        jnp.arange(p, dtype=jnp.int32)[:, None], (p, span_cap * span_cap)
-    ).reshape(-1)
+    def emit(rect_min_x, rect_min_y, span_x, span_y, valid, depth_qv, cap):
+        """(N, cap**2) duplication -> flat (keys, in_rect-masked)."""
+        j = jnp.arange(cap * cap, dtype=jnp.int32)
+        dx = j[None, :] % jnp.maximum(span_x, 1)[:, None]
+        dy = j[None, :] // jnp.maximum(span_x, 1)[:, None]
+        in_rect = (dy < span_y[:, None]) & valid[:, None]
+        tile_id = (rect_min_y[:, None] + dy) * tiles_x + (
+            rect_min_x[:, None] + dx)
+        keys = (tile_id << depth_bits) | depth_qv[:, None]
+        return jnp.where(in_rect, keys, sentinel).reshape(-1)
+
+    small = 2
+    if span_cap <= small:
+        keys = emit(rects.min_x, rects.min_y, rects.span_x, rects.span_y,
+                    rects.valid, depth_q, span_cap)
+        splat_ids = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.int32)[:, None],
+            (p, span_cap * span_cap)).reshape(-1)
+        overflowed = jnp.sum((rects.overflow & rects.valid).astype(jnp.int32))
+    else:
+        # SMALL pool: every splat's centered 2x2 clamp (exact for span<=2)
+        rects2 = compute_tile_rects(proj, height, width, tile, small)
+        is_big = rects.valid & (
+            (rects.span_x > small) | (rects.span_y > small))
+        big_cap = min(p, max(32, p // 16))
+        rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+        in_pool = is_big & (rank < big_cap)
+        # pool slots -> splat ids, in rank order (stable int sort)
+        pool_key = jnp.where(in_pool, rank, jnp.int32(p))
+        _, big_ids = jax.lax.sort(
+            [pool_key, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+        big_ids = big_ids[:big_cap]
+        n_big = jnp.sum(is_big.astype(jnp.int32))
+        slot_valid = jnp.arange(big_cap, dtype=jnp.int32) < jnp.minimum(
+            n_big, big_cap)
+
+        keys_small = emit(
+            rects2.min_x, rects2.min_y, rects2.span_x, rects2.span_y,
+            rects2.valid & ~in_pool, depth_q, small)
+        keys_big = emit(
+            rects.min_x[big_ids], rects.min_y[big_ids],
+            rects.span_x[big_ids], rects.span_y[big_ids],
+            slot_valid, depth_q[big_ids], span_cap)
+        keys = jnp.concatenate([keys_small, keys_big])
+        ids_small = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.int32)[:, None],
+            (p, small * small)).reshape(-1)
+        ids_big = jnp.broadcast_to(
+            big_ids[:, None], (big_cap, span_cap * span_cap)).reshape(-1)
+        splat_ids = jnp.concatenate([ids_small, ids_big])
+        # coverage-loss telemetry: span_cap-clamped splats + pool overflow
+        overflowed = (
+            jnp.sum((rects.overflow & rects.valid).astype(jnp.int32))
+            + jnp.maximum(n_big - big_cap, 0)
+        )
+
     keys_sorted, ids_sorted = jax.lax.sort([keys, splat_ids], num_keys=1)
 
     tile_of_entry = keys_sorted >> depth_bits
@@ -428,5 +479,5 @@ def bin_splats(
         tile_start=tile_start,
         tile_count=tile_count,
         num_entries=jnp.sum(tile_count),
-        overflowed=jnp.sum((overflow & valid).astype(jnp.int32)),
+        overflowed=overflowed,
     )
