@@ -237,6 +237,22 @@ def main():
     report["pack_transpose_ms"], _ = timed(f_e3, (sparams,), args.iters)
     print(f"pack_transpose: {report['pack_transpose_ms']:.1f} ms", flush=True)
 
+    # ---- stage E4: sh_proj fwd+grad (projection/SH backward share) ----
+    def f_e4(c, inp):
+        (sp,) = inp
+
+        def scalar(sp2):
+            colors_b2, proj_b2 = sh_proj(sp2, xyz_cam, rot_cam)
+            return (jnp.sum(colors_b2) + jnp.sum(proj_b2.tu)
+                    + jnp.sum(proj_b2.tv) + jnp.sum(proj_b2.tw)
+                    + jnp.sum(proj_b2.center2d) + jnp.sum(proj_b2.normal))
+
+        g = jax.grad(scalar)(perturb(sp, c))
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+
+    report["sh_proj_grad_ms"], _ = timed(f_e4, (sparams,), args.iters)
+    print(f"sh_proj_grad: {report['sh_proj_grad_ms']:.1f} ms", flush=True)
+
     # ---- stage F: full grad ------------------------------------------
     def f_f(c, inp):
         sp, xc, rc = inp

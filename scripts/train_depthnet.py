@@ -109,20 +109,30 @@ def make_scene(rng, res, n_blobs=None):
     light = rng.normal(size=3)
     light /= np.linalg.norm(light)
     light[2] = -abs(light[2])  # from the camera half-space
+    # ambient floor varies per scene (VERDICT r4 #4: lighting diversity) —
+    # flat-lit scenes force the net onto size/position/occlusion cues
+    ambient = rng.uniform(0.2, 0.6)
 
-    n_blobs = n_blobs or rng.integers(2, 7)
+    n_blobs = n_blobs or rng.integers(1, 10)
     pts, cols, scales_log = [], [], []
     for _ in range(n_blobs):
         n = int(rng.integers(80, 240))
-        ctr = np.array([rng.uniform(-0.35, 0.35), rng.uniform(-0.35, 0.35),
-                        rng.uniform(0.8, 3.0)], np.float32)
-        rad = rng.uniform(0.05, 0.25)
+        # depth range widened to 0.5-4.0 (was 0.8-3.0): near occluders and
+        # far small objects are the hard ordering cases
+        ctr = np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4),
+                        rng.uniform(0.5, 4.0)], np.float32)
+        rad = rng.uniform(0.04, 0.3)
         p, nrm = _shape_points(rng, n)
         p = ctr + p * rad * rng.uniform(0.85, 1.0, size=(n, 1))
-        base = rng.uniform(0.1, 1.0, size=(1, 3))
+        if rng.uniform() < 0.5:  # textured objects, not just flat albedo
+            base = _texture(rng, 16)[
+                rng.integers(0, 16, size=n), rng.integers(0, 16, size=n)
+            ]
+        else:
+            base = rng.uniform(0.1, 1.0, size=(1, 3))
         c = np.clip(base + rng.normal(0, 0.15, size=(n, 3)), 0, 1)
         # Lambertian shading: the shape-from-shading cue monodepth nets use
-        lam = 0.35 + 0.65 * np.clip(-(nrm @ light), 0, 1)[:, None]
+        lam = ambient + (1 - ambient) * np.clip(-(nrm @ light), 0, 1)[:, None]
         pts.append(p)
         cols.append((c * lam).astype(np.float32))
         scales_log.append(np.full((n,), np.log(rad * 0.35), np.float32))
@@ -132,7 +142,12 @@ def make_scene(rng, res, n_blobs=None):
     nb = 256
     gx, gy = np.meshgrid(np.linspace(-2, 2, 16), np.linspace(-2, 2, 16))
     bgz = rng.uniform(3.5, 5.0)
-    bgp = np.stack([gx.ravel(), gy.ravel(), np.full(nb, bgz)], -1)
+    # tilted back wall (up to ~20°): a frontal-only wall teaches "background
+    # = constant depth", which transfers poorly to slanted real backdrops
+    tilt = rng.uniform(-0.35, 0.35, size=2)
+    bgp = np.stack(
+        [gx.ravel(), gy.ravel(),
+         np.full(nb, bgz) + tilt[0] * gx.ravel() + tilt[1] * gy.ravel()], -1)
     bgp += rng.normal(0, 0.05, bgp.shape)
     tex = _texture(rng, 16).reshape(-1, 3)
     pts.append(bgp.astype(np.float32))
@@ -149,6 +164,18 @@ def make_scene(rng, res, n_blobs=None):
         cols.append(ftex.astype(np.float32))
         # splat size grows with distance so the floor stays hole-free
         scales_log.append(np.log(0.06 + 0.05 * gz.ravel()).astype(np.float32))
+    if rng.uniform() < 0.4:
+        # side wall sweeping near->far (corridor geometry): a horizontal
+        # depth gradient the floor alone never provides
+        gy, gz = np.meshgrid(np.linspace(-2, 2, 16),
+                             np.linspace(0.6, bgz, 16))
+        wall_x = rng.choice([-1.0, 1.0]) * rng.uniform(0.4, 0.8)
+        wp = np.stack([np.full(nb, wall_x), gy.ravel(), gz.ravel()], -1)
+        wp += rng.normal(0, 0.03, wp.shape)
+        wtex = _texture(rng, 16).reshape(-1, 3)
+        pts.append(wp.astype(np.float32))
+        cols.append(wtex.astype(np.float32))
+        scales_log.append(np.log(0.06 + 0.05 * gz.ravel()).astype(np.float32))
 
     pts = np.concatenate(pts)
     cols = np.concatenate(cols)
@@ -156,7 +183,7 @@ def make_scene(rng, res, n_blobs=None):
 
     # pad to a FIXED capacity so the rasterizer compiles once for the whole
     # training run (variable splat counts = one XLA compile per scene)
-    cap = 2560
+    cap = 3584  # 9 blobs x 240 + wall/floor/side-wall planes fit uncut
     n = len(pts)
     if n < cap:
         pad = cap - n
@@ -252,7 +279,7 @@ def order_accuracy(disp, depth, rng, n_pairs=2000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
