@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--fast", default="/tmp/e2e_r4_fast")
     ap.add_argument("--budget", default="/tmp/e2e_r4_budget.json")
     ap.add_argument("--depthreg", default="/tmp/depth_registration.json")
+    ap.add_argument("--render512", default="",
+                    help="dir of a 512-res render CLI output (rgb.{mp4,gif})")
     ap.add_argument("--out", default="examples/results")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -61,7 +63,9 @@ def main():
         if os.path.exists(gif):
             shutil.copy(gif, os.path.join(args.out, "render_vs_gt.gif"))
 
-    campaign = {}
+    # Merge into the committed table: a later collect run whose /tmp dirs
+    # have been cleaned (session restart) must not drop earlier entries.
+    campaign = load(os.path.join(args.out, "campaign.json")) or {}
     if main_m:
         campaign["main_surfel_gt"] = summarize(main_m)
     for key, src, gifname in [
@@ -87,6 +91,14 @@ def main():
     dr = load(args.depthreg)
     if dr:
         campaign["depth_registration"] = dr
+    if args.render512:
+        for ext in ("mp4", "gif"):
+            vid = os.path.join(args.render512, f"rgb.{ext}")
+            if os.path.exists(vid):
+                shutil.copy(vid, os.path.join(args.out, f"render512_ref.{ext}"))
+                campaign["render512"] = {"source": args.render512,
+                                         "artifact": f"render512_ref.{ext}"}
+                break
     with open(os.path.join(args.out, "campaign.json"), "w") as fp:
         json.dump(campaign, fp, indent=2)
     print(json.dumps(campaign, indent=2))
