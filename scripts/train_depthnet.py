@@ -288,12 +288,23 @@ def main():
     ap.add_argument("--pool", type=int, default=512,
                     help="pre-rendered scene pool size (0: fresh every step)")
     ap.add_argument("--out", default="vidu4d_tpu/weights/depthnet_synthetic.npz")
+    ap.add_argument("--init", default="",
+                    help="warm-start from an existing weights .npz "
+                         "(fine-tune instead of training from scratch)")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="checkpoint --out every N steps (0: only at end), "
+                         "so a killed run still lands usable weights")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     model = DepthNet(width=args.width)
     rgb, dep, val = make_batch(rng, args.res, args.batch)
-    params = model.init(jax.random.PRNGKey(0), rgb)
+    if args.init:
+        from vidu4d_tpu.preprocess.depthnet import load_weights
+        params = load_weights(args.init)
+        print(f"warm-start from {args.init}", flush=True)
+    else:
+        params = model.init(jax.random.PRNGKey(0), rgb)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"depthnet params: {n_params/1e6:.2f}M", flush=True)
 
@@ -327,6 +338,8 @@ def main():
         if it % 100 == 0 or it == args.steps - 1:
             print(f"step {it}: loss={float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if args.save_every and it and it % args.save_every == 0:
+            save_weights(args.out, params)
 
     save_weights(args.out, params)
     print(f"saved {args.out}", flush=True)

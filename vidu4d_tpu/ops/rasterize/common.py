@@ -369,6 +369,225 @@ def bin_splats_batch(
     return jax.tree.map(lambda *x: jnp.stack(x), *outs)
 
 
+def _tile_hist_matmul(
+    min_x, min_y, span_x, span_y, emit_mask, tiles_y: int, tiles_x: int
+):
+    """Per-tile emitted-entry counts WITHOUT sorting, via the integral-image
+    corner trick on the MXU.
+
+    Each emitter contributes +1 to every tile of its [min, min+span) rect;
+    summing signed corner impulses and 2D-prefix-summing recovers the per-
+    tile histogram:  H = A^T B  with  A = onehot(min_y) - onehot(min_y+span_y)
+    (rows masked by emit_mask) and  B = onehot(min_x) - onehot(min_x+span_x).
+    One (ty+1, K) x (K, tx+1) f32 matmul over K emitters — products are
+    exactly ±1/0 and counts stay far below 2^24, so f32 accumulation is
+    exact. This replaces the count-by-sorting the reference gets for free
+    from its radix sort (`rasterizer_impl.cu:249-339`) at P-cost instead of
+    E-cost, and lets the aligned layout be computed BEFORE the one key sort
+    (see bin_splats_aligned)."""
+    m = emit_mask.astype(jnp.float32)
+    ty1 = jnp.arange(tiles_y + 1, dtype=jnp.int32)
+    tx1 = jnp.arange(tiles_x + 1, dtype=jnp.int32)
+    a = (
+        (min_y[:, None] == ty1[None, :]).astype(jnp.float32)
+        - ((min_y + span_y)[:, None] == ty1[None, :]).astype(jnp.float32)
+    ) * m[:, None]
+    b = (
+        (min_x[:, None] == tx1[None, :]).astype(jnp.float32)
+        - ((min_x + span_x)[:, None] == tx1[None, :]).astype(jnp.float32)
+    )
+    h = jax.lax.dot(
+        a.T, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    hist2d = jnp.cumsum(jnp.cumsum(h, axis=0), axis=1)[:tiles_y, :tiles_x]
+    return jnp.rint(hist2d).astype(jnp.int32).reshape(-1)
+
+
+def bin_splats_aligned(
+    proj: SplatProjection,
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+    chunk: int = 128,
+    entry_cap: int = 0,
+) -> TileBinning:
+    """Fused bin_splats + cap_binning + align_binning in ONE key sort.
+
+    The separate pipeline sorts twice (the (tile|depth) key sort, then
+    align_binning's destination sort) plus two associative scans and a
+    searchsorted — all E-sized. Here the per-tile counts are known BEFORE
+    sorting (`_tile_hist_matmul`), so the chunk-alignment pad entries are
+    emitted alongside the real entries with keys that place them at each
+    tile segment's end, and a single stable sort produces the final aligned
+    layout directly; tile_start/tile_count come from the histogram cumsum,
+    no searchsorted. Layout contract is align_binning's: every segment
+    starts on a `chunk` boundary, pad slots carry splat id 0 outside
+    [start, start+count).
+
+    Two differences vs the separate pipeline, both benign:
+    * real depths quantize to at most 2^depth_bits - 2 (pads own the top
+      code), so entries at the far plane may swap order among themselves;
+    * with entry_cap, the cap applies to the ALIGNED stream at
+      round(entry_cap) + T*chunk — every real entry the separate pipeline
+      kept is kept (pad slots never evict a real entry), and the output
+      size equals the separate pipeline's exactly.
+    """
+    tiles_y, tiles_x = tile_grid_shape(height, width, tile)
+    num_tiles = tiles_x * tiles_y
+    tile_bits = max(1, math.ceil(math.log2(max(num_tiles, 2))))
+    depth_bits = 30 - tile_bits
+    if depth_bits < 12:
+        raise ValueError(
+            f"too many tiles ({num_tiles}) for int32 keys; increase tile size"
+        )
+
+    p = proj.center2d.shape[0]
+    rects = compute_tile_rects(proj, height, width, tile, span_cap)
+    depth_max = (1 << depth_bits) - 2
+    depth_q = jnp.minimum(
+        quantize_depth(proj.depth, depth_bits), depth_max
+    )
+    sentinel = jnp.int32((num_tiles << depth_bits))
+
+    def emit(rect_min_x, rect_min_y, span_x, span_y, valid, depth_qv, cap):
+        j = jnp.arange(cap * cap, dtype=jnp.int32)
+        dx = j[None, :] % jnp.maximum(span_x, 1)[:, None]
+        dy = j[None, :] // jnp.maximum(span_x, 1)[:, None]
+        in_rect = (dy < span_y[:, None]) & valid[:, None]
+        tile_id = (rect_min_y[:, None] + dy) * tiles_x + (
+            rect_min_x[:, None] + dx)
+        keys = (tile_id << depth_bits) | depth_qv[:, None]
+        return jnp.where(in_rect, keys, sentinel).reshape(-1)
+
+    small = 2
+    if span_cap <= small:
+        keys = emit(rects.min_x, rects.min_y, rects.span_x, rects.span_y,
+                    rects.valid, depth_q, span_cap)
+        splat_ids = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.int32)[:, None],
+            (p, span_cap * span_cap)).reshape(-1)
+        overflowed = jnp.sum((rects.overflow & rects.valid).astype(jnp.int32))
+        hist = _tile_hist_matmul(
+            rects.min_x, rects.min_y, rects.span_x, rects.span_y,
+            rects.valid, tiles_y, tiles_x,
+        )
+    else:
+        # identical two-pool partition to bin_splats (see its docstring)
+        rects2 = compute_tile_rects(proj, height, width, tile, small)
+        is_big = rects.valid & (
+            (rects.span_x > small) | (rects.span_y > small))
+        big_cap = min(p, max(32, p // 16))
+        rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+        in_pool = is_big & (rank < big_cap)
+        pool_key = jnp.where(in_pool, rank, jnp.int32(p))
+        _, big_ids = jax.lax.sort(
+            [pool_key, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+        big_ids = big_ids[:big_cap]
+        n_big = jnp.sum(is_big.astype(jnp.int32))
+        slot_valid = jnp.arange(big_cap, dtype=jnp.int32) < jnp.minimum(
+            n_big, big_cap)
+
+        keys_small = emit(
+            rects2.min_x, rects2.min_y, rects2.span_x, rects2.span_y,
+            rects2.valid & ~in_pool, depth_q, small)
+        keys_big = emit(
+            rects.min_x[big_ids], rects.min_y[big_ids],
+            rects.span_x[big_ids], rects.span_y[big_ids],
+            slot_valid, depth_q[big_ids], span_cap)
+        keys = jnp.concatenate([keys_small, keys_big])
+        ids_small = jnp.broadcast_to(
+            jnp.arange(p, dtype=jnp.int32)[:, None],
+            (p, small * small)).reshape(-1)
+        ids_big = jnp.broadcast_to(
+            big_ids[:, None], (big_cap, span_cap * span_cap)).reshape(-1)
+        splat_ids = jnp.concatenate([ids_small, ids_big])
+        overflowed = (
+            jnp.sum((rects.overflow & rects.valid).astype(jnp.int32))
+            + jnp.maximum(n_big - big_cap, 0)
+        )
+        # one K = P + big_cap histogram matmul covering both pools
+        hist = _tile_hist_matmul(
+            jnp.concatenate([rects2.min_x, rects.min_x[big_ids]]),
+            jnp.concatenate([rects2.min_y, rects.min_y[big_ids]]),
+            jnp.concatenate([rects2.span_x, rects.span_x[big_ids]]),
+            jnp.concatenate([rects2.span_y, rects.span_y[big_ids]]),
+            jnp.concatenate([rects2.valid & ~in_pool, slot_valid]),
+            tiles_y, tiles_x,
+        )
+
+    padded = -(-hist // chunk) * chunk
+    gap = padded - hist  # pads used per tile, in [0, chunk)
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )[:-1]
+
+    # pad entries: key (t<<db | db_max+1) lands after every real entry of
+    # tile t (real depths clip to db_max); unused pads get sentinel keys
+    jj = jnp.arange(chunk, dtype=jnp.int32)
+    pad_used = jj[None, :] < gap[:, None]
+    pad_keys = jnp.where(
+        pad_used,
+        (jnp.arange(num_tiles, dtype=jnp.int32)[:, None] << depth_bits)
+        | (depth_max + 1),
+        sentinel,
+    ).reshape(-1)
+    all_keys = jnp.concatenate([keys, pad_keys])
+    all_ids = jnp.concatenate(
+        [splat_ids, jnp.zeros((num_tiles * chunk,), jnp.int32)]
+    )
+    # sentinel emissions (outside their splat's rect) must land as id-0
+    # pads, matching align_binning's zeroed tail
+    all_ids = jnp.where(all_keys == sentinel, 0, all_ids)
+    keys_sorted, ids_sorted = jax.lax.sort([all_keys, all_ids], num_keys=1)
+    tile_of_entry = jnp.minimum(keys_sorted >> depth_bits, num_tiles)
+
+    binning = TileBinning(
+        sorted_splat_ids=ids_sorted,
+        sorted_tile_ids=tile_of_entry.astype(jnp.int32),
+        tile_start=astart,
+        tile_count=hist,
+        num_entries=jnp.sum(hist),
+        overflowed=overflowed,
+    )
+    if entry_cap:
+        cap = -(-entry_cap // chunk) * chunk + num_tiles * chunk
+        e = binning.sorted_splat_ids.shape[-1]
+        if cap < e:
+            start = jnp.minimum(binning.tile_start, cap)
+            count = jnp.minimum(
+                binning.tile_start + binning.tile_count, cap) - start
+            binning = binning._replace(
+                sorted_splat_ids=binning.sorted_splat_ids[..., :cap],
+                sorted_tile_ids=binning.sorted_tile_ids[..., :cap],
+                tile_start=start,
+                tile_count=count,
+            )
+    return binning
+
+
+def bin_splats_aligned_batch(
+    proj_b: SplatProjection,
+    height: int,
+    width: int,
+    tile: int = 16,
+    span_cap: int = 4,
+    chunk: int = 128,
+    entry_cap: int = 0,
+) -> TileBinning:
+    """bin_splats_aligned over a leading frame dim, python-unrolled for the
+    same reason as bin_splats_batch (batched lax.sort is ~3x slower)."""
+    m = proj_b.depth.shape[0]
+    outs = [
+        bin_splats_aligned(
+            jax.tree.map(lambda x: x[f], proj_b), height, width,
+            tile=tile, span_cap=span_cap, chunk=chunk, entry_cap=entry_cap)
+        for f in range(m)
+    ]
+    return jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+
 def bin_splats(
     proj: SplatProjection,
     height: int,

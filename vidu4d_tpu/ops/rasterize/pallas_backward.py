@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,12 @@ from vidu4d_tpu.ops.rasterize.pallas_kernel import (
     _prefix_add_lanes,
     _prefix_mul_lanes,
 )
+
+
+# fused one-sort binning+alignment (common.bin_splats_aligned) is the
+# default production path; VIDU4D_FUSED_BINNING=0 restores the separate
+# bin -> cap -> align pipeline for A/B timing and bisecting
+_FUSED_BINNING = os.environ.get("VIDU4D_FUSED_BINNING", "1") != "0"
 
 
 def _suffix_mul_lanes(x):
@@ -537,9 +544,15 @@ def rasterize_pallas_grad(
 
     tiles_y, tiles_x = common.tile_grid_shape(height, width, tile)
     n_extra = colors.shape[-1] - 3
-    binning = common.bin_splats(proj, height, width, tile=tile, span_cap=span_cap)
-    binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
-    binning = common.align_binning(binning, chunk=CHUNK)
+    if _FUSED_BINNING:
+        binning = common.bin_splats_aligned(
+            proj, height, width, tile=tile, span_cap=span_cap,
+            chunk=CHUNK, entry_cap=entry_cap)
+    else:
+        binning = common.bin_splats(
+            proj, height, width, tile=tile, span_cap=span_cap)
+        binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
+        binning = common.align_binning(binning, chunk=CHUNK)
     slab = pack_props(proj, colors, opacities, binning.sorted_splat_ids)
     core = _make_core(tiles_x, tiles_y, tile, interpret, n_extra=n_extra)
     nchan = 3 + n_extra
@@ -613,10 +626,15 @@ def rasterize_pallas_grad_batch(
     m = proj_b.depth.shape[0]
     n_extra = colors_b.shape[-1] - 3
 
-    binning = common.bin_splats_batch(proj_b, height, width, tile=tile,
-                                      span_cap=span_cap)
-    binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
-    binning = common.align_binning(binning, chunk=CHUNK)
+    if _FUSED_BINNING:
+        binning = common.bin_splats_aligned_batch(
+            proj_b, height, width, tile=tile, span_cap=span_cap,
+            chunk=CHUNK, entry_cap=entry_cap)
+    else:
+        binning = common.bin_splats_batch(proj_b, height, width, tile=tile,
+                                          span_cap=span_cap)
+        binning = common.cap_binning(binning, entry_cap, chunk=CHUNK)
+        binning = common.align_binning(binning, chunk=CHUNK)
     opac_b = jnp.broadcast_to(opacities[None], colors_b.shape[:2])
     # unrolled like bin_splats_batch: a vmapped gather's transpose is a
     # *batched* scatter-add, which XLA lowers far slower than M independent
