@@ -340,6 +340,61 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
     return kernel
 
 
+# Backward epilogue for the slab row gather (entry grads -> splat grads,
+# the atomics-free stand-in for backward.cu's atomicAdd into dL_d*):
+#   xla    — autodiff transpose (one scatter-add of the full (E, 32) rows)
+#   narrow — custom_vjp that scatter-adds only the rows the backward kernel
+#            can write (18 + n_extra of 32): same op, ~40% less payload
+#   sorted — custom_vjp that sorts (id, iota) pairs (8B payload instead of
+#            riding all 32 grad columns through the sort a scatter lowers
+#            to), row-gathers the grads by the permutation, and reduces
+#            with a sorted segment_sum
+_EPILOGUE = os.environ.get("VIDU4D_RASTER_EPILOGUE", "narrow")
+
+
+def _row_gather(props: jax.Array, sorted_ids: jax.Array,
+                n_used: int) -> jax.Array:
+    """props (P, 32) -> rows (E, 32) with an epilogue-tuned VJP.
+
+    The cotangent's columns past n_used are identically zero (the backward
+    kernel only writes rows [0, 18+n_extra) and the grad slab is
+    zero-initialized), so the transpose may drop them."""
+    if _EPILOGUE == "xla":
+        return props[sorted_ids]
+
+    @jax.custom_vjp
+    def gather(p, ids):
+        return p[ids]
+
+    def fwd(p, ids):
+        return p[ids], (ids, p.shape[0])
+
+    def bwd_narrow(res, g):
+        ids, p = res
+        gp = jnp.zeros((p, g.shape[1]), g.dtype)
+        gp = gp.at[:, :n_used].set(
+            jnp.zeros((p, n_used), g.dtype).at[ids].add(g[:, :n_used])
+        )
+        return gp, jnp.zeros(ids.shape, jax.dtypes.float0)
+
+    def bwd_sorted(res, g):
+        ids, p = res
+        e = ids.shape[0]
+        ids_s, perm = jax.lax.sort(
+            [ids, jnp.arange(e, dtype=jnp.int32)], num_keys=1
+        )
+        gs = jax.ops.segment_sum(
+            g[perm, :n_used], ids_s, num_segments=p,
+            indices_are_sorted=True,
+        )
+        gp = jnp.zeros((p, g.shape[1]), g.dtype)
+        return gp.at[:, :n_used].set(gs), jnp.zeros(
+            ids.shape, jax.dtypes.float0)
+
+    gather.defvjp(fwd, bwd_sorted if _EPILOGUE == "sorted" else bwd_narrow)
+    return gather(props, sorted_ids)
+
+
 def pack_props(proj: common.SplatProjection, colors, opacities,
                sorted_ids) -> jax.Array:
     """Gather per-splat props into the CHUNK-major (N, 32, CHUNK) slab
@@ -375,7 +430,7 @@ def pack_props(proj: common.SplatProjection, colors, opacities,
         ],
         axis=-1,
     )  # (P, 32)
-    rows = props[sorted_ids]  # (E, 32) vectorized row gather
+    rows = _row_gather(props, sorted_ids, _EXTRA + n_extra)  # (E, 32)
     e = rows.shape[0]
     pad = (-e) % CHUNK + CHUNK  # CHUNK multiple + one spare block
     rows = jnp.pad(rows, ((0, pad), (0, 0)))
