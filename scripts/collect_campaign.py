@@ -92,8 +92,8 @@ def main():
     if dr:
         campaign["depth_registration"] = dr
     if args.render512:
-        for ext in ("mp4", "gif"):
-            vid = os.path.join(args.render512, f"rgb.{ext}")
+        for name, ext in (("rendered", "gif"), ("rgb", "mp4"), ("rgb", "gif")):
+            vid = os.path.join(args.render512, f"{name}.{ext}")
             if os.path.exists(vid):
                 shutil.copy(vid, os.path.join(args.out, f"render512_ref.{ext}"))
                 campaign["render512"] = {"source": args.render512,
