@@ -16,7 +16,8 @@ Design:
 * one program per tile, chunks walked in REVERSE; within a chunk the
   T-chain and the suffix sums are resolved with Hillis-Steele prefix ops
   over the lane (entry) axis — no sequential splat loop;
-* per-entry gradients (d tu/tv/tw, d center2d, d opacity, d rgb, d normal)
+* per-entry gradients (d slab-coefficients — the affine intersection form,
+  see pallas_kernel's slab layout — plus d opacity, d rgb, d normal)
   are written into a transposed (32, E) grad slab with WRITE-ONLY chunk
   DMAs: `common.align_binning` pads every tile's entry segment to a CHUNK
   boundary, so no chunk is shared by two tiles and no read-modify-write
@@ -44,15 +45,18 @@ from vidu4d_tpu.ops.rasterize import common
 from vidu4d_tpu.ops.rasterize.pallas_kernel import (
     CHUNK,
     _F,
-    _CX,
-    _CY,
+    _E0,
+    _E1,
+    _E2,
     _EXTRA,
     _NRM,
     _OPAC,
+    _PA,
+    _PB,
+    _PC,
+    _QD,
     _RGB,
-    _TU,
-    _TV,
-    _TW,
+    _TW2,
     _prefix_add_lanes,
     _prefix_mul_lanes,
 )
@@ -111,6 +115,8 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
         lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
         pxf = (base_x + lin % tile).astype(jnp.float32) + 0.5
         pyf = (base_y + lin // tile).astype(jnp.float32) + 0.5
+        # pixel-only quadratic term of rho2d (per tile, not per chunk)
+        pq = common.FILTER_INV_SQUARE * (pxf * pxf + pyf * pyf)
 
         # suffix-sum-as-matmul operand: suf_incl = x @ tri_ge rides the MXU
         # (one (px_n, CHUNK) x (CHUNK, CHUNK) contraction) instead of a
@@ -203,30 +209,22 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             rank = (entry_id - start).astype(jnp.float32)
 
             row = lambda i: scratch[slot, i, :][None, :]
-            # recompute the forward response (same math as the fwd kernel)
-            kx = pxf * row(_TW) - row(_TU)
-            ky = pxf * row(_TW + 1) - row(_TU + 1)
-            kz = pxf * row(_TW + 2) - row(_TU + 2)
-            lx = pyf * row(_TW) - row(_TV)
-            ly = pyf * row(_TW + 1) - row(_TV + 1)
-            lz = pyf * row(_TW + 2) - row(_TV + 2)
-            px_ = ky * lz - kz * ly
-            py_ = kz * lx - kx * lz
-            pz_ = kx * ly - ky * lx
+            # recompute the forward response (same affine-coefficient math
+            # as the fwd kernel: p = A + px*B + py*C, depth3d = q / pz)
+            px_ = row(_PA) + pxf * row(_PB) + pyf * row(_PC)
+            py_ = row(_PA + 1) + pxf * row(_PB + 1) + pyf * row(_PC + 1)
+            pz_ = row(_PA + 2) + pxf * row(_PB + 2) + pyf * row(_PC + 2)
             pz_ok = pz_ != 0.0
             pz_safe = jnp.where(pz_ok, pz_, 1.0)
-            sx = px_ / pz_safe
-            sy = py_ / pz_safe
-            rho3d = sx * sx + sy * sy
-            dx = row(_CX) - pxf
-            dy = row(_CY) - pyf
-            rho2d = common.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            ipz = 1.0 / pz_safe
+            rho3d = (px_ * px_ + py_ * py_) * (ipz * ipz)
+            rho2d = pq + row(_E0) + pxf * row(_E1) + pyf * row(_E2)
             use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
             depth = jnp.where(
                 use3d,
-                sx * row(_TW) + sy * row(_TW + 1) + row(_TW + 2),
-                jnp.broadcast_to(row(_TW + 2), rho3d.shape),
+                row(_QD) * ipz,
+                jnp.broadcast_to(row(_TW2), rho3d.shape),
             )
             alpha_raw = row(_OPAC) * jnp.exp(-0.5 * rho)
             clamped = alpha_raw > common.ALPHA_CLAMP
@@ -293,41 +291,27 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
             )
             g_depth = jnp.where(ok, w * g_d + g_m * dmdd, 0.0)
 
-            # rho3d branch: rho3d = sx^2 + sy^2 ; depth3d = sx twx + sy twy + twz
-            # sx/sy can be inf for near-degenerate conics; their cotangents
-            # are exactly zero there (ok=False zeroes g_rho/g_depth) but
-            # inf*0=NaN, so gate the values too
-            sx_g = jnp.where(ok, sx, 0.0)
-            sy_g = jnp.where(ok, sy, 0.0)
-            g_sx = jnp.where(use3d, 2.0 * sx_g * g_rho + row(_TW) * g_depth, 0.0)
-            g_sy = jnp.where(use3d, 2.0 * sy_g * g_rho + row(_TW + 1) * g_depth, 0.0)
-            # s = p.xy / p.z
-            g_px = g_sx / pz_safe
-            g_py = g_sy / pz_safe
-            g_pz = -(g_sx * sx_g + g_sy * sy_g) / pz_safe
-            # p = cross(k, l)
-            g_kx = ly * g_pz - lz * g_py
-            g_ky = lz * g_px - lx * g_pz
-            g_kz = lx * g_py - ly * g_px
-            g_lx = kz * g_py - ky * g_pz
-            g_ly = kx * g_pz - kz * g_px
-            g_lz = ky * g_px - kx * g_py
-            # k = px*Tw - Tu ; l = py*Tw - Tv
-            g_tu = (-g_kx, -g_ky, -g_kz)
-            g_tv = (-g_lx, -g_ly, -g_lz)
-            g_tw0 = pxf * g_kx + pyf * g_lx
-            g_tw1 = pxf * g_ky + pyf * g_ly
-            g_tw2 = pxf * g_kz + pyf * g_lz
-            # depth contributions to Tw (3d branch: s·(twx,twy)+twz; 2d: twz)
-            g_tw0 = g_tw0 + jnp.where(use3d, sx_g * g_depth, 0.0)
-            g_tw1 = g_tw1 + jnp.where(use3d, sy_g * g_depth, 0.0)
-            g_tw2 = g_tw2 + g_depth
-
-            # rho2d branch: center2d gradients
-            g_cx = jnp.where(use3d, 0.0,
-                             g_rho * common.FILTER_INV_SQUARE * 2.0 * dx)
-            g_cy = jnp.where(use3d, 0.0,
-                             g_rho * common.FILTER_INV_SQUARE * 2.0 * dy)
+            # rho3d branch: rho3d = (px^2+py^2)/pz^2 ; depth3d = q/pz.
+            # ipz/rho3d can be inf (or huge) for near-degenerate conics;
+            # their cotangents are exactly zero there (ok=False zeroes
+            # g_rho/g_depth) but inf*0=NaN, so gate the values too
+            ipz_g = jnp.where(ok, ipz, 0.0)
+            ipz2_g = ipz_g * ipz_g
+            rho3d_g = jnp.where(ok, rho3d, 0.0)
+            g_rho3 = jnp.where(use3d, g_rho, 0.0)
+            g_rho2 = jnp.where(use3d, 0.0, g_rho)
+            g_d3 = jnp.where(use3d, g_depth, 0.0)
+            g_d2 = jnp.where(use3d, 0.0, g_depth)
+            # p cotangents (`depth` already equals q*ipz where use3d & ok)
+            g_px = 2.0 * px_ * ipz2_g * g_rho3
+            g_py = 2.0 * py_ * ipz2_g * g_rho3
+            g_pz = -(2.0 * rho3d_g * g_rho3 + depth * g_d3) * ipz_g
+            # q (3D depth numerator) and Tw.z (2D depth) cotangents
+            g_q = ipz_g * g_d3
+            # p = A + px*B + py*C and rho2d = pq + e0 + px*e1 + py*e2: the
+            # slab-row grads are pixel sums of g_p / g_rho2 against the
+            # monomials {1, px, py} (in `rows` below); Tu/Tv/Tw/center2d
+            # then chain through pack_props by autodiff in the epilogue.
 
             g_rgb = (w * g_c[0], w * g_c[1], w * g_c[2])
             g_nrm = (w * g_n[0], w * g_n[1], w * g_n[2])
@@ -342,10 +326,12 @@ def _make_bwd_kernel(tiles_x: int, tile: int, n_entries: int,
                 gwrite(ci - 2, slot).wait()
 
             rows = [
-                (psum(g_tu[0]), _TU), (psum(g_tu[1]), _TU + 1), (psum(g_tu[2]), _TU + 2),
-                (psum(g_tv[0]), _TV), (psum(g_tv[1]), _TV + 1), (psum(g_tv[2]), _TV + 2),
-                (psum(g_tw0), _TW), (psum(g_tw1), _TW + 1), (psum(g_tw2), _TW + 2),
-                (psum(g_cx), _CX), (psum(g_cy), _CY),
+                (psum(g_px), _PA), (psum(g_py), _PA + 1), (psum(g_pz), _PA + 2),
+                (psum(pxf * g_px), _PB), (psum(pxf * g_py), _PB + 1), (psum(pxf * g_pz), _PB + 2),
+                (psum(pyf * g_px), _PC), (psum(pyf * g_py), _PC + 1), (psum(pyf * g_pz), _PC + 2),
+                (psum(g_q), _QD), (psum(g_d2), _TW2),
+                (psum(g_rho2), _E0),
+                (psum(pxf * g_rho2), _E1), (psum(pyf * g_rho2), _E2),
                 (psum(g_opac), _OPAC),
                 (psum(g_rgb[0]), _RGB), (psum(g_rgb[1]), _RGB + 1), (psum(g_rgb[2]), _RGB + 2),
                 (psum(g_nrm[0]), _NRM), (psum(g_nrm[1]), _NRM + 1), (psum(g_nrm[2]), _NRM + 2),

@@ -39,17 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 from vidu4d_tpu.ops.rasterize import common
 from vidu4d_tpu.ops.rasterize.compositing import CompositeOutput
 
-# property slab rows (per sorted entry), padded to 32 rows
+# property slab rows (per sorted entry), padded to 32 rows.
+#
+# The slab stores the two-plane intersection in AFFINE-COEFFICIENT form
+# rather than the raw (Tu, Tv, Tw) transform rows: with k = px*Tw - Tu and
+# l = py*Tw - Tv (forward.cu:359-362), the homogeneous intersection point
+#   p = k x l = (Tu x Tv) + px*(Tv x Tw) + py*(Tw x Tu)
+# is AFFINE in the pixel coords (the bilinear px*py term is Tw x Tw = 0),
+# and the 3D-branch depth numerator p . Tw collapses to the per-splat
+# CONSTANT q = det(Tu, Tv, Tw) (the B/C coefficients are orthogonal to Tw).
+# Evaluating p therefore costs 2 FMAs per component instead of the 12-op
+# k/l assembly + 12-op cross product, and the depth needs one multiply by
+# 1/pz. The low-pass 2D fallback rho2d = FIS*((cx-px)^2+(cy-py)^2)
+# (forward.cu:373-378) is likewise carried as its polynomial coefficients
+# in (px, py). pack_props computes the coefficients once per splat in XLA
+# (O(P), fused into the pack), so the per-(pixel x entry) VPU work inside
+# the kernels drops by ~40% and the backward's cross-product gradient
+# chain disappears entirely (its slab-row grads chain to Tu/Tv/Tw through
+# pack_props by autodiff).
 _F = 32
-_TU = 0
-_TV = 3
-_TW = 6
-_CX = 9
-_CY = 10
-_OPAC = 11
-_RGB = 12
-_NRM = 15
-_EXTRA = 18  # extra composited channels (flow/gauss-mask/...), up to _F-18
+_PA = 0    # A = Tu x Tv          (p constant term, 3 rows)
+_PB = 3    # B = Tv x Tw          (p coefficient of px, 3 rows)
+_PC = 6    # C = Tw x Tu          (p coefficient of py, 3 rows)
+_QD = 9    # q = det(Tu,Tv,Tw)    (3D-branch depth numerator)
+_TW2 = 10  # Tw.z                 (2D-branch depth value)
+_E0 = 11   # FIS*(cx^2+cy^2)      (rho2d constant term)
+_E1 = 12   # -2*FIS*cx            (rho2d coefficient of px)
+_E2 = 13   # -2*FIS*cy            (rho2d coefficient of py)
+_OPAC = 14
+_RGB = 15
+_NRM = 18
+_EXTRA = 21  # extra composited channels (flow/gauss-mask/...), up to _F-21
 MAX_EXTRA = _F - _EXTRA
 
 # entries per chunk; default == lane width (DMA stays lane-aligned).
@@ -117,6 +137,8 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
         lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
         pxf = (base_x + lin % tile).astype(jnp.float32) + 0.5
         pyf = (base_y + lin // tile).astype(jnp.float32) + 0.5
+        # pixel-only quadratic term of rho2d (per tile, not per chunk)
+        pq = common.FILTER_INV_SQUARE * (pxf * pxf + pyf * pyf)
 
         # chunks start lane-aligned; masks trim [start, start+count)
         first_chunk = start // CHUNK
@@ -195,29 +217,21 @@ def _make_kernel(tiles_x: int, tile: int, n_entries: int, n_extra: int = 0,
             valid_k = (entry_id >= start) & (entry_id < start + count)
 
             row = lambda i: scratch[slot, i, :][None, :]  # (1, CHUNK)
-            # two-plane intersection (forward.cu:359-372); (px_n, CHUNK)
-            kx = pxf * row(_TW) - row(_TU)
-            ky = pxf * row(_TW + 1) - row(_TU + 1)
-            kz = pxf * row(_TW + 2) - row(_TU + 2)
-            lx = pyf * row(_TW) - row(_TV)
-            ly = pyf * row(_TW + 1) - row(_TV + 1)
-            lz = pyf * row(_TW + 2) - row(_TV + 2)
-            px_ = ky * lz - kz * ly
-            py_ = kz * lx - kx * lz
-            pz_ = kx * ly - ky * lx
+            # two-plane intersection (forward.cu:359-372) in affine form:
+            # p = A + px*B + py*C, depth3d = q / pz (see slab layout)
+            px_ = row(_PA) + pxf * row(_PB) + pyf * row(_PC)
+            py_ = row(_PA + 1) + pxf * row(_PB + 1) + pyf * row(_PC + 1)
+            pz_ = row(_PA + 2) + pxf * row(_PB + 2) + pyf * row(_PC + 2)
             pz_ok = pz_ != 0.0
             pz_safe = jnp.where(pz_ok, pz_, 1.0)
-            sx = px_ / pz_safe
-            sy = py_ / pz_safe
-            rho3d = sx * sx + sy * sy
-            dx = row(_CX) - pxf
-            dy = row(_CY) - pyf
-            rho2d = common.FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            ipz = 1.0 / pz_safe
+            rho3d = (px_ * px_ + py_ * py_) * (ipz * ipz)
+            rho2d = pq + row(_E0) + pxf * row(_E1) + pyf * row(_E2)
             rho = jnp.minimum(rho3d, rho2d)
             depth = jnp.where(
                 rho3d <= rho2d,
-                sx * row(_TW) + sy * row(_TW + 1) + row(_TW + 2),
-                jnp.broadcast_to(row(_TW + 2), rho3d.shape),
+                row(_QD) * ipz,
+                jnp.broadcast_to(row(_TW2), rho3d.shape),
             )
             alpha = jnp.minimum(
                 common.ALPHA_CLAMP, row(_OPAC) * jnp.exp(-0.5 * rho)
@@ -418,15 +432,30 @@ def pack_props(proj: common.SplatProjection, colors, opacities,
             f"pallas rasterizer supports at most {MAX_EXTRA} extra channels "
             f"(got {n_extra}); use impl='tiles' for wide feature rendering"
         )
+    # affine-coefficient form of the two-plane intersection (see the slab
+    # layout comment): computed ONCE per splat here (O(P) XLA, fused into
+    # the pack) instead of per pixel x entry inside the kernels. Gradients
+    # w.r.t. Tu/Tv/Tw/center2d chain through these lines by autodiff.
+    a = jnp.cross(proj.tu, proj.tv)
+    b = jnp.cross(proj.tv, proj.tw)
+    c = jnp.cross(proj.tw, proj.tu)
+    q = jnp.sum(a * proj.tw, axis=-1, keepdims=True)  # det(Tu,Tv,Tw)
+    cx = proj.center2d[:, :1]
+    cy = proj.center2d[:, 1:2]
+    fis = common.FILTER_INV_SQUARE
     props = jnp.concatenate(
         [
-            proj.tu, proj.tv, proj.tw,            # rows 0-8
-            proj.center2d,                        # rows 9-10
-            opacities[:, None],                   # row 11
-            colors[:, :3],                        # rows 12-14
-            proj.normal,                          # rows 15-17
-            colors[:, 3:],                        # rows 18..18+n_extra
-            jnp.zeros((p, _F - 18 - n_extra), jnp.float32),
+            a, b, c,                              # rows 0-8
+            q,                                    # row 9
+            proj.tw[:, 2:3],                      # row 10
+            fis * (cx * cx + cy * cy),            # row 11
+            -2.0 * fis * cx,                      # row 12
+            -2.0 * fis * cy,                      # row 13
+            opacities[:, None],                   # row 14
+            colors[:, :3],                        # rows 15-17
+            proj.normal,                          # rows 18-20
+            colors[:, 3:],                        # rows 21..21+n_extra
+            jnp.zeros((p, _F - _EXTRA - n_extra), jnp.float32),
         ],
         axis=-1,
     )  # (P, 32)
